@@ -1,0 +1,122 @@
+"""
+QuanONet and HEAQNN Flax modules.
+
+Architecture contract (SURVEY.md §2b; reference core/models_ms.py:37-124,
+core/models_pt.py:103-213):
+
+QuanONet:
+    branch u0 -> freq map -> branch_enc (branch_depth * nq angles)
+    trunk  y  -> freq map -> trunk_enc  (trunk_depth * nq angles)
+    x = concat([trunk_enc, branch_enc])          # trunk first!
+    out = <H>_HEA(x) + bias                      # scalar trainable bias
+
+HEAQNN (ablation twin): single input stream, same blocks, no bias.
+
+Parameter tree is laid out so the reference's .npz checkpoint keys map
+1:1 (quanonet_tpu/checkpoint.py):
+    ansatz (S,3,nq)      <-> 'QuanONet.weight' / 'HEAQNN.weight' flat
+    bias ()              <-> 'bias'
+    branch_freq/{weights,bias} <-> 'branch_LinearLayer.Net2.{weights,bias}'
+    trunk_freq/{weights,bias}  <-> 'trunk_LinearLayer.Net2.{weights,bias}'
+    freq/{weights,bias}        <-> 'LinearLayer.Net2.{weights,bias}'
+"""
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from quanonet_tpu.models.layers import FixedScale, TrainableFreq
+from quanonet_tpu.ops.hamiltonian import resolve_ham_diag, simple_ham_params
+from quanonet_tpu.ops.hea import (
+    hea_expectation, heaqnn_spec, init_ansatz_weights, quanonet_spec,
+)
+
+
+def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine):
+    if ham_pauli == 'Z' or ham_diag is not None:
+        diag = jnp.asarray(
+            resolve_ham_diag(spec.n_qubits, list(ham_bound),
+                             list(ham_diag) if ham_diag is not None else None))
+        return hea_expectation(spec, ansatz, x, diag=diag, engine=engine)
+    offset, coeff = simple_ham_params(spec.n_qubits, ham_bound[0], ham_bound[1])
+    return hea_expectation(spec, ansatz, x, pauli=ham_pauli,
+                           offset=offset, coeff=coeff, engine=engine)
+
+
+class QuanONet(nn.Module):
+    """Quantum operator network (reference core/models_ms.py:37-89)."""
+    num_qubits: int
+    branch_input_size: int
+    trunk_input_size: int
+    net_size: Tuple[int, int, int, int]  # (bd, bld, td, tld)
+    scale_coeff: float = 0.01
+    if_trainable_freq: bool = True
+    ham_bound: Tuple[float, float] = (-5.0, 5.0)
+    ham_diag: Optional[Tuple[float, ...]] = None
+    ham_pauli: str = 'Z'
+    engine: str = 'auto'
+
+    @nn.compact
+    def __call__(self, branch_input, trunk_input):
+        bd, bld, td, tld = self.net_size
+        spec = quanonet_spec(self.num_qubits, self.net_size)
+
+        if self.if_trainable_freq:
+            branch_enc = TrainableFreq(bd * self.num_qubits,
+                                       self.scale_coeff,
+                                       name='branch_freq')(branch_input)
+            trunk_enc = TrainableFreq(td * self.num_qubits,
+                                      self.scale_coeff,
+                                      name='trunk_freq')(trunk_input)
+        else:
+            branch_enc = FixedScale(bd * self.num_qubits,
+                                    self.scale_coeff)(branch_input)
+            trunk_enc = FixedScale(td * self.num_qubits,
+                                   self.scale_coeff)(trunk_input)
+
+        # trunk encoding first: the circuit is trunk blocks then branch
+        # blocks (reference core/models_ms.py:87, models_pt.py:164)
+        x = jnp.concatenate([trunk_enc, branch_enc], axis=1)
+
+        ansatz = self.param(
+            'ansatz',
+            lambda key, _: init_ansatz_weights(key, spec),
+            spec.weight_shape())
+        bias = self.param('bias', nn.initializers.zeros, ())
+        out = _measure(spec, ansatz, x, self.ham_bound, self.ham_diag,
+                       self.ham_pauli, self.engine)
+        return out + bias
+
+
+class HEAQNN(nn.Module):
+    """Hardware-efficient-ansatz QNN (reference core/models_ms.py:92-124).
+    net_size[:2] = (depth, linear_depth); no output bias."""
+    num_qubits: int
+    input_size: int
+    net_size: Tuple[int, ...]
+    scale_coeff: float = 0.01
+    if_trainable_freq: bool = True
+    ham_bound: Tuple[float, float] = (-5.0, 5.0)
+    ham_diag: Optional[Tuple[float, ...]] = None
+    ham_pauli: str = 'Z'
+    engine: str = 'auto'
+
+    @nn.compact
+    def __call__(self, x):
+        depth = int(self.net_size[0])
+        spec = heaqnn_spec(self.num_qubits, self.net_size)
+
+        if self.if_trainable_freq:
+            enc = TrainableFreq(depth * self.num_qubits, self.scale_coeff,
+                                name='freq')(x)
+        else:
+            enc = FixedScale(depth * self.num_qubits, self.scale_coeff)(x)
+
+        ansatz = self.param(
+            'ansatz',
+            lambda key, _: init_ansatz_weights(key, spec),
+            spec.weight_shape())
+        return _measure(spec, ansatz, enc, self.ham_bound, self.ham_diag,
+                        self.ham_pauli, self.engine)
