@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""
+QuanONet-TPU main entry point (reference main.py:16-125, CLI-compatible).
+
+All model families train through the single JAX solver; the reference's
+--quantum_backend / --classical_backend flags are accepted so its reproduce
+scripts run unchanged, but every value resolves to the one TPU engine
+(the reference's 5-way dispatch, utils/backend.py:49-129, is collapsed by
+design — SURVEY.md §7).
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quanonet_tpu.config import get_base_parser, load_config, set_random_seed
+
+
+def main():
+    parser = get_base_parser()
+    args = parser.parse_args()
+    config = load_config(args)
+
+    model_type = config['model_type']
+    print("\n===========================================================")
+    print(f" QuanONet-TPU Launcher | Model: {model_type} | "
+          f"Operator: {config['operator']}")
+    print(f" Engine: JAX/XLA ({config.get('engine', 'auto')}) — "
+          f"backend flags accepted for script compat: "
+          f"q={config.get('quantum_backend')}, c={config.get('classical_backend')}")
+    print("===========================================================")
+
+    set_random_seed(config.get('seed', 0))
+
+    from quanonet_tpu.solver import Solver
+    try:
+        solver = Solver(config)
+    except Exception as e:
+        print(f"Initialization Failed: {e}")
+        import traceback
+        traceback.print_exc()
+        sys.exit(1)
+
+    try:
+        history = solver.train()
+        solver.evaluate(history)
+        print("\nExecution Finished Successfully.")
+    except KeyboardInterrupt:
+        print("\nInterrupted by user.")
+    except SystemExit:
+        raise
+    except Exception as e:
+        print(f"\nExecution Failed: {e}")
+        import traceback
+        traceback.print_exc()
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

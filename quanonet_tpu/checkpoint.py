@@ -131,6 +131,57 @@ def load_ms_ckpt(path) -> dict:
     return params
 
 
+def _write_varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+_DTYPE_NAMES = {np.dtype(np.float32): 'Float32',
+                np.dtype(np.float64): 'Float64',
+                np.dtype(np.float16): 'Float16',
+                np.dtype(np.int32): 'Int32',
+                np.dtype(np.int64): 'Int64'}
+
+
+def save_ms_ckpt(path, params: dict):
+    """Write {name: array} as a MindSpore-compatible .ckpt (inverse of
+    load_ms_ckpt), so checkpoints produced here load in the reference's
+    MindSpore stack."""
+    out = bytearray()
+    for name, arr in params.items():
+        # NB: np.ascontiguousarray would promote 0-d scalars to 1-d
+        arr = np.asarray(arr)
+        dtype_name = _DTYPE_NAMES.get(arr.dtype)
+        if dtype_name is None:
+            arr = arr.astype(np.float32)
+            dtype_name = 'Float32'
+        # tensor message: dims (field 1), dtype (field 2), data (field 3)
+        tensor = bytearray()
+        dims = [0] if arr.shape == () else list(arr.shape)  # 0 encodes scalar
+        for d in dims:
+            tensor += b'\x08' + _write_varint(d)
+        dt = dtype_name.encode()
+        tensor += b'\x12' + _write_varint(len(dt)) + dt
+        raw = arr.tobytes()
+        tensor += b'\x1a' + _write_varint(len(raw)) + raw
+        # entry: name (field 1), tensor (field 2)
+        nm = name.encode()
+        entry = (b'\x0a' + _write_varint(len(nm)) + nm
+                 + b'\x12' + _write_varint(len(tensor)) + bytes(tensor))
+        out += b'\x0a' + _write_varint(len(entry)) + entry
+    tmp = path + '.tmp'
+    with open(tmp, 'wb') as f:
+        f.write(bytes(out))
+    os.replace(tmp, path)
+
+
 # ── npz <-> flax param tree mapping ──────────────────────────────────────────
 
 def load_raw(path) -> dict:

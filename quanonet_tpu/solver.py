@@ -1,0 +1,394 @@
+"""
+Unified solver: ONE optax training loop for every model family, replacing
+the reference's three framework-specific loops (solvers/solver_ms.py,
+solver_pt.py, solver_dde.py — same loop shape, different plumbing).
+
+TPU-first design:
+* the entire dataset lives on device; epochs run as ``lax.scan`` over
+  minibatches inside a jitted multi-epoch segment — one XLA dispatch per
+  ``epochs_per_sync`` epochs instead of one per batch (the reference
+  crosses the host boundary per batch, solver_ms.py:228-236, which is
+  exactly what the >=50x target forbids, SURVEY.md §7 hard part 4);
+* best-model tracking happens on device inside the scan (jnp.where on the
+  param pytree); the host only syncs per segment to write checkpoints;
+* ragged last batches are handled with a static-shape mask (XLA-friendly)
+  reproducing the reference's per-epoch averaging semantics;
+* optional data-parallel mesh sharding (quanonet_tpu/parallel).
+
+Contract kept from the reference: resume-skip on metric.json, best+final
+dual-format checkpoints (.npz reference schema + MindSpore-compatible
+.ckpt), warm start via init_checkpoint, if_train / if_save / ckpt_path
+config keys, per-epoch Loss/train + Error/rel_l2 TensorBoard scalars.
+"""
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from quanonet_tpu import checkpoint as ckpt_io
+from quanonet_tpu.config import parse_bool
+from quanonet_tpu.data.manager import DataManager
+from quanonet_tpu.logger import ExperimentLogger, StreamToLogger, setup_logger
+from quanonet_tpu.metrics import compute_metrics, count_parameters, rel_l2
+from quanonet_tpu.models import (
+    FNN, FNO, DeepONet, HEAQNN, QuanONet, deeponet_layer_sizes,
+)
+
+QUANTUM_MODELS = ('QuanONet', 'HEAQNN')
+
+
+def build_model(config, data):
+    """Model factory (reference solver_ms.py:91-147 + solver_dde.py:108-212
+    net-size policies).  Returns (flax module, input mode) where mode is
+    'tuple' (branch, trunk) or 'single' (one array)."""
+    model_type = config['model_type']
+    net_size = config.get('net_size')
+    if_tf = parse_bool(config.get('if_trainable_freq', 'true'))
+    scale = config.get('scale_coeff', 0.01)
+    ham_bound = tuple(config.get('ham_bound') or (-5.0, 5.0))
+    ham_diag = config.get('ham_diag')
+    ham_diag = tuple(ham_diag) if ham_diag is not None else None
+    ham_pauli = config.get('ham_pauli', 'Z')
+    engine = config.get('engine', 'auto')
+
+    if model_type == 'QuanONet':
+        ns = tuple(net_size or (20, 2, 10, 2))
+        branch_in = data['train_branch_input'].shape[1]
+        trunk_in = data['train_trunk_input'].shape[1]
+        model = QuanONet(num_qubits=config['num_qubits'],
+                         branch_input_size=branch_in, trunk_input_size=trunk_in,
+                         net_size=ns, scale_coeff=scale,
+                         if_trainable_freq=if_tf, ham_bound=ham_bound,
+                         ham_diag=ham_diag, ham_pauli=ham_pauli, engine=engine)
+        return model, 'tuple'
+    if model_type == 'HEAQNN':
+        ns = tuple(net_size or (20, 2))
+        input_size = data['train_input'].shape[1]
+        model = HEAQNN(num_qubits=config['num_qubits'], input_size=input_size,
+                       net_size=ns, scale_coeff=scale, if_trainable_freq=if_tf,
+                       ham_bound=ham_bound, ham_diag=ham_diag,
+                       ham_pauli=ham_pauli, engine=engine)
+        return model, 'single'
+    if model_type == 'DeepONet':
+        branch_in = data['train_branch_input'].shape[1]
+        trunk_in = data['train_trunk_input'].shape[1]
+        bl, tl = deeponet_layer_sizes(net_size, branch_in, trunk_in)
+        return DeepONet(branch_layers=bl, trunk_layers=tl), 'tuple'
+    if model_type == 'FNN':
+        ns = tuple(net_size or (3, 20))
+        return FNN(net_size=ns), 'single'
+    if model_type == 'FNO':
+        cfg = list(net_size or [])
+        modes = int(cfg[0]) if len(cfg) > 0 else 15
+        width = int(cfg[1]) if len(cfg) > 1 else 14
+        depth = int(cfg[2]) if len(cfg) > 2 else 3
+        fc_hidden = int(cfg[3]) if len(cfg) > 3 else 32
+        return FNO(modes=modes, width=width, layers=depth,
+                   fc_hidden=fc_hidden), 'single'
+    raise ValueError(f"Unknown model type: {model_type}")
+
+
+def build_optimizer(config, total_steps):
+    """optax optimizer + LR schedule (reference solver_ms.py:150-180)."""
+    opt_name = str(config.get('optimizer', 'adam')).lower()
+    lr = config['learning_rate']
+    opt_kw = config.get('optimizer_kwargs', {}) or {}
+    sched = str(config.get('lr_scheduler', 'none')).lower()
+    sched_kw = config.get('lr_scheduler_kwargs', {}) or {}
+
+    if sched == 'cosine':
+        eta_min = sched_kw.get('eta_min', 0.0)
+        schedule = lambda t: (eta_min + 0.5 * (lr - eta_min)
+                              * (1 + jnp.cos(jnp.pi * t / total_steps)))
+    elif sched == 'exponential':
+        gamma = sched_kw.get('gamma', 0.99)
+        schedule = optax.exponential_decay(lr, 1, gamma)
+    elif sched == 'step':
+        step_size = sched_kw.get('step_size', 100)
+        gamma = sched_kw.get('gamma', 0.5)
+        schedule = lambda t: lr * gamma ** (t // step_size)
+    else:
+        schedule = lr
+
+    opt_map = {
+        'adam': optax.adam,
+        'adamw': optax.adamw,
+        'sgd': optax.sgd,
+        'rmsprop': optax.rmsprop,
+    }
+    opt_cls = opt_map.get(opt_name, optax.adam)
+    return opt_cls(schedule, **opt_kw)
+
+
+class Solver:
+    """__init__(config) / train() -> history / evaluate(history) -> metrics
+    (uniform interface, reference main.py:114-115)."""
+
+    def __init__(self, config, input_sampler=None):
+        self.config = config
+        self.operator_type = config['operator']
+        self.model_type = config['model_type']
+
+        prefix = config.get('prefix') or "outputs"
+        self.exp_logger = ExperimentLogger(config, base_output_dir=prefix)
+        self.run_id = self.exp_logger.exp_name
+        self.config['run_id'] = self.run_id
+
+        self.logger = setup_logger(self.exp_logger.text_log_path)
+        sys.stdout = StreamToLogger(self.logger)
+        self.logger.info(f"Initialized Solver (JAX/TPU) for {self.model_type}")
+        self.logger.info(f"Devices: {jax.devices()}")
+
+        self.dm = DataManager(config,
+                              data_dir=os.path.join(prefix, "..", "data"),
+                              logger=self.logger,
+                              input_sampler=input_sampler)
+        self.data = self.dm.get_data()
+        self._route_data()
+
+        self.model, self.input_mode = build_model(config, self.data)
+        self.params = self._init_params()
+        self.logger.info(
+            f"Model Parameters: {count_parameters(self.params)}")
+        self.best_loss = float('inf')
+        self.best_params = None
+        self.best_model_path = None
+
+    # ── data routing (reference solver_ms.py:72-89) ─────────────────────────
+    def _route_data(self):
+        d = self.data
+        if self.model_type in ('HEAQNN', 'FNN', 'FNO'):
+            self.train_inputs = (d['train_input'].astype(np.float32),)
+            self.test_inputs = (d['test_input'].astype(np.float32),)
+        else:
+            self.train_inputs = (d['train_branch_input'].astype(np.float32),
+                                 d['train_trunk_input'].astype(np.float32))
+            self.test_inputs = (d['test_branch_input'].astype(np.float32),
+                                d['test_trunk_input'].astype(np.float32))
+        self.train_output = d['train_output'].astype(np.float32)
+        self.test_output = d['test_output'].astype(np.float32)
+
+    def _init_params(self):
+        key = jax.random.PRNGKey(self.config.get('seed', 0))
+        dummies = tuple(jnp.asarray(a[:1]) for a in self.train_inputs)
+        return self.model.init(key, *dummies)
+
+    def _apply(self, params, *inputs):
+        return self.model.apply(params, *inputs)
+
+    # ── training ─────────────────────────────────────────────────────────────
+    def train(self):
+        if self.exp_logger.is_completed():
+            print("⏩ [Resume] Experiment already completed "
+                  "(metric.json found). Skipping training.")
+            sys.exit(0)
+
+        self.logger.info("Starting Training...")
+        config = self.config
+        epochs = config['num_epochs']
+        num_samples = self.train_output.shape[0]
+
+        batch_size = config.get('batch_size', 100)
+        if num_samples < batch_size:
+            self.logger.warning(
+                f"⚠️ Batch size {batch_size} > total samples {num_samples}. "
+                f"Reducing to {num_samples}.")
+            config['batch_size'] = batch_size = num_samples
+        num_batches = max(1, int(np.ceil(num_samples / batch_size)))
+        padded = num_batches * batch_size
+
+        optimizer = build_optimizer(config, epochs * num_batches)
+        history = {'loss_train': [], 'loss_test': []}
+
+        if config.get('init_checkpoint'):
+            self._load_into_params(config['init_checkpoint'])
+            self.logger.info(
+                f"Loaded init checkpoint: {config['init_checkpoint']}")
+
+        if not parse_bool(config.get('if_train', 'true')):
+            self.logger.info("Skipping training (if_train=false)")
+            return history
+
+        inputs = tuple(jnp.asarray(a) for a in self.train_inputs)
+        outputs = jnp.asarray(self.train_output)
+        params = self.params
+        opt_state = optimizer.init(params)
+        out_norm_sq = float(np.sum(self.train_output.astype(np.float64) ** 2))
+
+        model_apply = self.model.apply
+
+        per_sample = int(np.prod(self.train_output.shape[1:]))
+
+        def batch_loss(p, batch_in, batch_out, mask):
+            pred = model_apply(p, *batch_in)
+            m = mask.reshape(mask.shape + (1,) * (pred.ndim - 1))
+            sq = (pred - batch_out) ** 2 * m
+            return jnp.sum(sq) / jnp.maximum(jnp.sum(mask) * per_sample, 1.0)
+
+        def train_epoch(carry, key):
+            params, opt_state = carry
+            perm = jax.random.permutation(key, num_samples)
+            pad_idx = jnp.concatenate(
+                [perm, perm[:padded - num_samples]])  # wrap, masked out below
+            mask_flat = (jnp.arange(padded) < num_samples).astype(jnp.float32)
+            idx = pad_idx.reshape(num_batches, batch_size)
+            masks = mask_flat.reshape(num_batches, batch_size)
+
+            def step(carry, b):
+                params, opt_state = carry
+                bi, bm = b
+                batch_in = tuple(a[bi] for a in inputs)
+                batch_out = outputs[bi]
+                loss, grads = jax.value_and_grad(batch_loss)(
+                    params, batch_in, batch_out, bm)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss, jnp.sum(bm))
+
+            (params, opt_state), (losses, counts) = jax.lax.scan(
+                step, (params, opt_state), (idx, masks))
+            avg_loss = jnp.mean(losses)
+            # running rel-L2 from accumulated SSE (solver_ms.py:240-245)
+            sse = jnp.sum(losses * counts * per_sample)
+            return (params, opt_state), (avg_loss, sse)
+
+        @jax.jit
+        def run_segment(params, opt_state, best_loss, best_params, keys):
+            def epoch_step(carry, key):
+                params, opt_state, best_loss, best_params = carry
+                (params, opt_state), (avg_loss, sse) = train_epoch(
+                    (params, opt_state), key)
+                improved = avg_loss < best_loss
+                best_loss = jnp.where(improved, avg_loss, best_loss)
+                best_params = jax.tree_util.tree_map(
+                    lambda b, p: jnp.where(improved, p, b),
+                    best_params, params)
+                return (params, opt_state, best_loss, best_params), \
+                    (avg_loss, sse)
+            (params, opt_state, best_loss, best_params), hist = jax.lax.scan(
+                epoch_step, (params, opt_state, best_loss, best_params), keys)
+            return params, opt_state, best_loss, best_params, hist
+
+        seed = config.get('seed', 0)
+        base_key = jax.random.PRNGKey(seed if seed is not None else 0)
+        all_keys = jax.random.split(base_key, epochs)
+
+        seg = int(config.get('epochs_per_sync', min(50, epochs)) or 1)
+        best_loss_dev = jnp.asarray(np.inf, jnp.float32)
+        best_params = params
+        if_save = config.get('if_save', True)
+        t0 = time.time()
+        done = 0
+        while done < epochs:
+            n = min(seg, epochs - done)
+            params, opt_state, best_loss_dev, best_params, hist = run_segment(
+                params, opt_state, best_loss_dev, best_params,
+                all_keys[done:done + n])
+            avg_losses = np.asarray(hist[0])
+            sses = np.asarray(hist[1])
+            for e in range(n):
+                epoch = done + e
+                avg_loss = float(avg_losses[e])
+                rel_err = float(np.sqrt(max(sses[e], 0.0))
+                                / (np.sqrt(out_norm_sq) + 1e-8))
+                history['loss_train'].append(avg_loss)
+                self.exp_logger.log_metric("Loss/train", avg_loss, epoch)
+                self.exp_logger.log_metric("Error/rel_l2", rel_err, epoch)
+                if epoch % 10 == 0:
+                    print(f"Epoch {epoch} | MSE: {avg_loss:.6e} | "
+                          f"Rel_L2: {rel_err:.4%}")
+            done += n
+            new_best = float(best_loss_dev)
+            if new_best < self.best_loss:
+                self.best_loss = new_best
+                self.best_params = jax.device_get(best_params)
+                if if_save:
+                    self.best_model_path = self.exp_logger.get_ckpt_path()
+                    self._save_checkpoint(self.best_params,
+                                          self.best_model_path)
+
+        wall = time.time() - t0
+        sps = epochs * num_samples / max(wall, 1e-9)
+        self.logger.info(
+            f"Training wall-time: {wall:.2f}s "
+            f"({sps:,.0f} samples/sec incl. compile)")
+        self.train_samples_per_sec = sps
+
+        self.params = jax.device_get(params)
+        if self.best_params is None:
+            self.best_params = self.params
+        if if_save:
+            final_path = self.exp_logger.get_ckpt_path(is_final=True)
+            self._save_checkpoint(self.params, final_path)
+            self.logger.info(f"Saved FINAL model to {final_path}")
+        return history
+
+    # ── checkpointing ─────────────────────────────────────────────────────────
+    def _save_checkpoint(self, params, ckpt_path):
+        """Dual-format save (.ckpt MindSpore-compatible + .npz reference
+        schema), mirroring solver_ms.py:256-263."""
+        if self.model_type in QUANTUM_MODELS:
+            raw = ckpt_io.quantum_params_to_raw(params, self.model_type)
+        else:
+            raw = ckpt_io.flatten_tree(params)
+        ckpt_io.save_ms_ckpt(ckpt_path, raw)
+        npz_path = ckpt_path.replace('.ckpt', '.npz')
+        tmp = npz_path + '.tmp.npz'
+        np.savez(tmp, **raw)
+        os.replace(tmp, npz_path)
+
+    def _load_into_params(self, path):
+        raw = ckpt_io.load_raw(path)
+        if self.model_type in QUANTUM_MODELS:
+            net_size = tuple(self.config.get('net_size') or (20, 2, 10, 2))
+            if_tf = parse_bool(self.config.get('if_trainable_freq', 'true'))
+            tree = ckpt_io.quantum_params_from_raw(
+                raw, self.model_type, net_size, self.config['num_qubits'],
+                if_tf)
+        else:
+            tree = ckpt_io.unflatten_tree(raw)
+        self.params = jax.tree_util.tree_map(jnp.asarray, tree)
+
+    # ── evaluation (reference solver_ms.py:279-330) ──────────────────────────
+    def evaluate(self, history=None):
+        self.logger.info("Evaluating...")
+        params = None
+        if self.best_params is not None:
+            params = self.best_params
+            self.logger.info("Using best-epoch parameters")
+        elif self.config.get('ckpt_path') and \
+                os.path.exists(self.config['ckpt_path']):
+            self._load_into_params(self.config['ckpt_path'])
+            params = self.params
+            self.logger.info(
+                f"Loaded evaluation model from {self.config['ckpt_path']}")
+        else:
+            params = self.params
+
+        params = jax.tree_util.tree_map(jnp.asarray, params)
+        batch_size = self.config.get('batch_size', 100)
+        n = self.test_output.shape[0]
+        fwd = jax.jit(lambda *inp: self.model.apply(params, *inp))
+        preds = []
+        for s in range(0, n, batch_size):
+            batch = tuple(jnp.asarray(a[s:s + batch_size])
+                          for a in self.test_inputs)
+            preds.append(np.asarray(fwd(*batch)))
+        y_pred = np.concatenate(preds, axis=0)
+        y_true = self.test_output
+
+        rel_error = rel_l2(y_true, y_pred)
+        self.logger.info(
+            f"⚡ Test Relative L2 Error: {rel_error:.6f} ({rel_error:.2%})")
+        metrics = compute_metrics(y_true, y_pred)
+        metrics['rel_l2'] = rel_error
+        if hasattr(self, 'train_samples_per_sec'):
+            metrics['train_samples_per_sec'] = self.train_samples_per_sec
+        self.logger.info(f"Metrics: {metrics}")
+        self.exp_logger.save_metrics(metrics, history)
+        self.exp_logger.close()
+        return metrics
