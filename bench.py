@@ -1,0 +1,166 @@
+#!/usr/bin/env python3
+"""
+Benchmark: QuanONet Q5 Advection training samples/sec on one chip
+(the driver-provided north-star metric, BASELINE.md).
+
+Baseline: the reference's MindQuantum CPU path trains TF-QuanONet Q5 for
+1000 epochs x 10,000 samples in ~80 min on a server-class CPU
+(reference README.md:178) => ~2,083 samples/sec.  That anchor is for the
+ODE net (Net20-2-10-2, 30 blocks); the Advection net benched here
+(Net40-2-20-2, 60 blocks) is ~2x the work per sample, so using 2,083 as
+the denominator UNDERSTATES the speedup — conservative in the
+reference's favour.
+
+Methodology notes (axon TPU tunnel):
+* the first execution of a compiled program pays a large one-time
+  server-side cost (~200s cold, ~15s with the persistent compilation
+  cache under .jax_cache/) — excluded from the timed region;
+* exactly ONE jitted program shape is used for all epochs, so the timed
+  region never recompiles.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
+Extra keys (rel_l2, epochs, platform) are informational.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SAMPLES_PER_SEC = 2083.0
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true',
+                    help='fewer epochs / smaller dataset')
+    ap.add_argument('--cpu', action='store_true', help='force CPU backend')
+    ap.add_argument('--engine', default='auto',
+                    choices=['auto', 'dense', 'gates', 'pallas'])
+    ap.add_argument('--epochs', type=int, default=None)
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update('jax_platforms', 'cpu')
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(REPO, '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    import jax.numpy as jnp
+    import optax
+
+    sys.path.insert(0, REPO)
+    from quanonet_tpu.data.manager import DataManager
+    from quanonet_tpu.models import QuanONet
+
+    platform = jax.devices()[0].platform
+    log(f"devices: {jax.devices()}")
+
+    # Reference Advection regime (scripts/reproduce_benchmarks1.sh PDE row):
+    # 1000 train fns x 100 pts/fn, bs=100, lr=1e-4, 100 epochs, Q5 40-2-20-2.
+    num_train = 200 if args.quick else 1000
+    epochs = args.epochs or (10 if args.quick else 100)
+    cfg = dict(operator='Advection', model_type='QuanONet',
+               num_train=num_train, num_test=100,
+               num_points=100, num_points_0=100,
+               train_sample_num=100, test_sample_num=100)
+    t0 = time.time()
+    np.random.seed(0)
+    data = DataManager(cfg, data_dir=os.path.join(REPO, 'data')).get_data()
+    log(f"data ready in {time.time() - t0:.1f}s; "
+        f"train={data['train_output'].shape[0]} samples")
+
+    model = QuanONet(num_qubits=5, branch_input_size=100, trunk_input_size=2,
+                     net_size=(40, 2, 20, 2), scale_coeff=0.1,
+                     if_trainable_freq=True, engine=args.engine)
+
+    branch = jnp.asarray(data['train_branch_input'])
+    trunk = jnp.asarray(data['train_trunk_input'])
+    target = jnp.asarray(data['train_output'])
+    n = target.shape[0]
+    batch_size = 100
+    num_batches = n // batch_size
+
+    params = model.init(jax.random.PRNGKey(0), branch[:1], trunk[:1])
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(params)
+
+    def batch_loss(p, b, t, y):
+        pred = model.apply(p, b, t)
+        return jnp.mean((pred - y) ** 2)
+
+    @jax.jit
+    def one_epoch(params, opt_state, key, branch, trunk, target):
+        perm = jax.random.permutation(key, n)[:num_batches * batch_size]
+        idx = perm.reshape(num_batches, batch_size)
+
+        def step(c, bi):
+            params, opt_state = c
+            loss, grads = jax.value_and_grad(batch_loss)(
+                params, branch[bi], trunk[bi], target[bi])
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
+                                                   idx)
+        return params, opt_state, jnp.mean(losses)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), epochs)
+
+    # warm-up epoch: compilation + one-time program-load cost
+    t0 = time.time()
+    params, opt_state, l0 = one_epoch(params, opt_state, keys[0],
+                                      branch, trunk, target)
+    jax.block_until_ready(params)
+    log(f"compile+first epoch: {time.time() - t0:.1f}s (loss {float(l0):.4f})")
+
+    # timed region: same program shape, zero recompiles
+    timed_epochs = min(epochs - 1, 3 if args.quick else 30)
+    t0 = time.time()
+    for e in range(1, 1 + timed_epochs):
+        params, opt_state, loss = one_epoch(params, opt_state, keys[e],
+                                            branch, trunk, target)
+    jax.block_until_ready(params)
+    dt = time.time() - t0
+    sps = timed_epochs * n / dt
+    log(f"timed: {timed_epochs} epochs x {n} samples in {dt:.2f}s "
+        f"=> {sps:,.0f} samples/sec (loss {float(loss):.4f})")
+
+    # finish the full regime so the rel-L2 is from a fully trained model
+    for e in range(1 + timed_epochs, epochs):
+        params, opt_state, loss = one_epoch(params, opt_state, keys[e],
+                                            branch, trunk, target)
+    jax.block_until_ready(params)
+
+    tb = jnp.asarray(data['test_branch_input'])
+    tt = jnp.asarray(data['test_trunk_input'])
+    ty = np.asarray(data['test_output'])
+    fwd = jax.jit(lambda b, t: model.apply(params, b, t))
+    preds = np.concatenate([np.asarray(fwd(tb[s:s + 5000], tt[s:s + 5000]))
+                            for s in range(0, tb.shape[0], 5000)])
+    rel = float(np.linalg.norm(preds - ty) / (np.linalg.norm(ty) + 1e-8))
+    log(f"final test rel_l2 after {epochs} epochs: {rel:.4f}")
+
+    print(json.dumps({
+        "metric": "quanonet_q5_advection_train_samples_per_sec_per_chip",
+        "value": round(sps, 1),
+        "unit": "samples/sec",
+        "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
+        "rel_l2": round(rel, 4),
+        "epochs": epochs,
+        "engine": args.engine,
+        "platform": platform,
+    }))
+
+
+if __name__ == '__main__':
+    main()

@@ -1,5 +1,5 @@
 """
-Gate primitives for the batched statevector engine.
+Gate primitives and static circuit structures for the statevector engine.
 
 Conventions (checkpoint-load-critical — see SURVEY.md §2b and reference
 utils/weight_transfer.py:7-12):
@@ -13,8 +13,9 @@ utils/weight_transfer.py:7-12):
 * CNOT ring applies control=(i+1)%n -> target=i sequentially for
   i = 0..n-1 (reference core/quantum_circuits_ms.py:137-144).
 
-State layout: ``(batch, 2**n)`` complex64; amplitude index k has qubit i's
-value in bit i, so qubit 0 varies fastest.
+NOTE: this module contains only REAL-valued building blocks — the TPU
+backend in this environment has no complex64 lowering, so the engine
+(ops/hea.py) carries (re, im) float32 pairs everywhere.
 """
 from functools import lru_cache
 
@@ -28,20 +29,6 @@ def ry_matrix(theta):
     s = jnp.sin(theta / 2.0)
     return jnp.stack([jnp.stack([c, -s], axis=-1),
                       jnp.stack([s, c], axis=-1)], axis=-2)
-
-
-def rx_matrix(theta):
-    """RX(θ) 2x2 (complex). theta: any shape -> (..., 2, 2)."""
-    c = jnp.cos(theta / 2.0).astype(jnp.complex64)
-    s = (-1j * jnp.sin(theta / 2.0)).astype(jnp.complex64)
-    return jnp.stack([jnp.stack([c, s], axis=-1),
-                      jnp.stack([s, c], axis=-1)], axis=-2)
-
-
-def rz_diag(theta):
-    """RZ(θ) diagonal (e^{-iθ/2}, e^{+iθ/2}). theta: (...,) -> (..., 2)."""
-    half = theta / 2.0
-    return jnp.stack([jnp.exp(-1j * half), jnp.exp(1j * half)], axis=-1)
 
 
 @lru_cache(maxsize=None)
@@ -89,6 +76,17 @@ def cnot_ring_inverse_permutation(n_qubits: int) -> np.ndarray:
     return inv
 
 
+@lru_cache(maxsize=None)
+def hadamard_kron(n_qubits: int) -> np.ndarray:
+    """H^{⊗n}: [i, j] = (-1)^{popcount(i & j)} / sqrt(2^n), float32.
+
+    Used to rewrite the RX encoding layer as a diagonal:
+    ⊗RX(x) = H^{⊗n} · ⊗RZ(x) · H^{⊗n}  (H X H = Z)."""
+    bits = bit_table(n_qubits)  # (D, n)
+    par = (bits[:, None, :] & bits[None, :, :]).sum(-1) & 1
+    return ((1.0 - 2.0 * par) / np.sqrt(2 ** n_qubits)).astype(np.float32)
+
+
 def kron_chain(mats):
     """Full-register operator from per-qubit 2x2s.
 
@@ -100,56 +98,3 @@ def kron_chain(mats):
     for q in range(n - 2, -1, -1):
         u = jnp.kron(u, mats[q])
     return u
-
-
-def apply_single_qubit(state, qubit, mat, n_qubits):
-    """Apply a 2x2 ``mat`` to ``qubit`` of a (batch, 2^n) state.
-
-    The per-sample variant accepts mat of shape (batch, 2, 2); a shared gate
-    has shape (2, 2).
-    """
-    batch = state.shape[0]
-    lo = 2 ** qubit              # stride of the target bit
-    hi = 2 ** (n_qubits - 1 - qubit)
-    s = state.reshape(batch, hi, 2, lo)
-    s0 = s[:, :, 0, :]
-    s1 = s[:, :, 1, :]
-    if mat.ndim == 3:  # per-sample gate: (batch, 2, 2)
-        m = mat[:, :, :, None, None]  # broadcast over (hi, lo)
-        n0 = m[:, 0, 0] * s0 + m[:, 0, 1] * s1
-        n1 = m[:, 1, 0] * s0 + m[:, 1, 1] * s1
-    else:
-        n0 = mat[0, 0] * s0 + mat[0, 1] * s1
-        n1 = mat[1, 0] * s0 + mat[1, 1] * s1
-    return jnp.stack([n0, n1], axis=2).reshape(batch, -1)
-
-
-def apply_rx_layer(state, thetas, n_qubits):
-    """Apply RX(θ_i) on every qubit i (encoding layer,
-    reference core/quantum_circuits_tq.py:79-86).
-
-    state: (batch, 2^n) complex; thetas: (batch, n) per-sample angles.
-    """
-    batch = state.shape[0]
-    for q in range(n_qubits):
-        th = thetas[:, q]
-        c = jnp.cos(th / 2.0)[:, None, None].astype(state.dtype)
-        s = (-1j * jnp.sin(th / 2.0))[:, None, None].astype(state.dtype)
-        lo = 2 ** q
-        hi = 2 ** (n_qubits - 1 - q)
-        st = state.reshape(batch, hi, 2, lo)
-        s0 = st[:, :, 0, :]
-        s1 = st[:, :, 1, :]
-        n0 = c * s0 + s * s1
-        n1 = s * s0 + c * s1
-        state = jnp.stack([n0, n1], axis=2).reshape(batch, -1)
-    return state
-
-
-def apply_cnot_ring(state, n_qubits):
-    """Apply the CNOT ring permutation to a (batch, 2^n) state."""
-    if n_qubits <= 1:
-        return state
-    inv = jnp.asarray(cnot_ring_inverse_permutation(n_qubits))
-    # ψ'[i] = ψ[inv[i]]
-    return state[:, inv]

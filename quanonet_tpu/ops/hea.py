@@ -14,15 +14,21 @@ construction order (trunk blocks first for QuanONet), gate order
 [RY, RZ, RY'] — exactly the reference's flat checkpoint layout
 (utils/weight_transfer.py:25-32).
 
+ALL arithmetic is split real/imaginary float32: the TPU backend in this
+environment has no complex64 lowering at all, and split-real is the
+Pallas-native layout anyway (pallas_guide: "no native complex — hand-rolled
+(re, im) arithmetic").  A statevector is the pair (sr, si), each
+(batch, 2^n) float32; a unitary is (ur, ui), each (2^n, 2^n).
+
 Two interchangeable gate-application strategies:
 
 * ``dense``  (TPU-first default, n_qubits <= ~11): every ansatz sublayer is
   *batch-independent*, so each block's ansatz stack compiles to ONE
   (2^n, 2^n) unitary, differentiable w.r.t. the weights.  The forward pass
-  is then ``scan over blocks [per-qubit RX (VPU) -> batched complex matmul
-  (MXU)]`` — ~5·linear_depth·n_qubits tiny gate kernels per block collapse
-  into one matmul (SURVEY.md §3.2: 2,700 gate applications per forward on
-  the reference's hot path).
+  is then ``scan over blocks [per-qubit RX (VPU) -> batched real matmuls
+  (MXU)]`` — the ~5·linear_depth·n_qubits tiny gate kernels per block of
+  the reference's hot loop (SURVEY.md §3.2: ~2,700 gate applications per
+  forward) collapse into 4 MXU matmuls per block.
 * ``gates`` (oracle + large-n fallback): literal gate-by-gate application
   mirroring the TorchQuantum loop; O(2^n) per gate instead of O(4^n) per
   block.
@@ -31,17 +37,14 @@ Both run under jit/vmap/grad; gradients flow by autodiff through the
 statevector (adjoint-equivalent, replacing MindQuantum's C++ adjoint ops).
 """
 from dataclasses import dataclass
-from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from quanonet_tpu.ops.gates import (
-    apply_cnot_ring,
-    apply_rx_layer,
-    apply_single_qubit,
     cnot_ring_inverse_permutation,
+    hadamard_kron,
     kron_chain,
     ry_matrix,
     z_signs,
@@ -107,36 +110,121 @@ def heaqnn_spec(num_qubits, net_size) -> HEASpec:
     return HEASpec(num_qubits, tuple([(num_qubits, ld)] * depth))
 
 
+# ── split-real primitives ─────────────────────────────────────────────────────
+
+def _init_state(batch, dim):
+    sr = jnp.zeros((batch, dim), jnp.float32).at[:, 0].set(1.0)
+    si = jnp.zeros((batch, dim), jnp.float32)
+    return sr, si
+
+
+def _apply_rx_all(sr, si, thetas, n_qubits):
+    """RX(θ_i) on every qubit i (encoding layer).  thetas: (batch, n).
+
+    RX = [[c, -i s], [-i s, c]]:
+      n0 = c·s0 - i·s·s1  ->  (c·s0r + s·s1i,  c·s0i - s·s1r)
+      n1 = -i·s·s0 + c·s1 ->  (s·s0i + c·s1r,  -s·s0r + c·s1i)
+    """
+    batch = sr.shape[0]
+    for q in range(n_qubits):
+        half = thetas[:, q] / 2.0
+        c = jnp.cos(half)[:, None, None]
+        s = jnp.sin(half)[:, None, None]
+        lo = 2 ** q
+        hi = 2 ** (n_qubits - 1 - q)
+        r = sr.reshape(batch, hi, 2, lo)
+        i = si.reshape(batch, hi, 2, lo)
+        r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
+        i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
+        n0r = c * r0 + s * i1
+        n0i = c * i0 - s * r1
+        n1r = s * i0 + c * r1
+        n1i = -s * r0 + c * i1
+        sr = jnp.stack([n0r, n1r], axis=2).reshape(batch, -1)
+        si = jnp.stack([n0i, n1i], axis=2).reshape(batch, -1)
+    return sr, si
+
+
+def _apply_ry(sr, si, q, c, s, n_qubits):
+    """RY = [[c, -s], [s, c]] (real) on qubit q; c/s scalars or (batch,)."""
+    batch = sr.shape[0]
+    lo = 2 ** q
+    hi = 2 ** (n_qubits - 1 - q)
+    if jnp.ndim(c) > 0:
+        c = c[:, None, None]
+        s = s[:, None, None]
+
+    def rot(a):
+        a = a.reshape(batch, hi, 2, lo)
+        a0, a1 = a[:, :, 0, :], a[:, :, 1, :]
+        return jnp.stack([c * a0 - s * a1, s * a0 + c * a1],
+                         axis=2).reshape(batch, -1)
+
+    return rot(sr), rot(si)
+
+
+def _apply_rz(sr, si, q, half, n_qubits):
+    """RZ = diag(e^{-iθ/2}, e^{+iθ/2}) on qubit q; half = θ/2."""
+    batch = sr.shape[0]
+    lo = 2 ** q
+    hi = 2 ** (n_qubits - 1 - q)
+    c = jnp.cos(half)
+    s = jnp.sin(half)
+    r = sr.reshape(batch, hi, 2, lo)
+    i = si.reshape(batch, hi, 2, lo)
+    r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
+    i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
+    # e^{-iθ/2}(r0+i i0) ; e^{+iθ/2}(r1+i i1)
+    n0r = c * r0 + s * i0
+    n0i = c * i0 - s * r0
+    n1r = c * r1 - s * i1
+    n1i = c * i1 + s * r1
+    sr = jnp.stack([n0r, n1r], axis=2).reshape(batch, -1)
+    si = jnp.stack([n0i, n1i], axis=2).reshape(batch, -1)
+    return sr, si
+
+
+def _apply_ring(sr, si, n_qubits):
+    if n_qubits <= 1:
+        return sr, si
+    inv = jnp.asarray(cnot_ring_inverse_permutation(n_qubits))
+    return sr[:, inv], si[:, inv]
+
+
 # ── dense path: compile ansatz stacks to block unitaries ────────────────────
 
 def _sublayer_unitary(w, n_qubits):
-    """One ansatz sublayer -> (2^n, 2^n) complex64 unitary.
+    """One ansatz sublayer -> (ur, ui), each (2^n, 2^n) float32.
 
     w: (3, n_qubits) = [RY θ, RZ θ, RY' θ].  U = Ring · (⊗RY') · (⊗RZ) · (⊗RY);
-    ⊗RZ is diagonal and the ring is a static row permutation, so the only
-    dense products are two real kron chains and one matmul.
+    ⊗RZ is diagonal and the ring is a static row permutation, so the dense
+    work is two real kron chains and two real matmuls.
     """
     u_ry1 = kron_chain(ry_matrix(w[0]))                  # (D, D) real
     u_ry2 = kron_chain(ry_matrix(w[2]))                  # (D, D) real
     zsgn = jnp.asarray(z_signs(n_qubits))                # (D, n)
-    zdiag = jnp.exp(-0.5j * (zsgn @ w[1]))               # (D,) complex
-    u = (u_ry2.astype(jnp.complex64)
-         @ (zdiag[:, None] * u_ry1.astype(jnp.complex64)))
+    phase = 0.5 * (zsgn @ w[1])                          # (D,)
+    zr = jnp.cos(phase)                                  # Re e^{-i phase}
+    zi = -jnp.sin(phase)                                 # Im e^{-i phase}
+    mr = zr[:, None] * u_ry1
+    mi = zi[:, None] * u_ry1
+    ur = u_ry2 @ mr
+    ui = u_ry2 @ mi
     inv = jnp.asarray(cnot_ring_inverse_permutation(n_qubits))
-    return u[inv, :]
+    return ur[inv, :], ui[inv, :]
 
 
 def compile_block_unitaries(spec: HEASpec, weights):
-    """weights (S, 3, n) -> (n_blocks, 2^n, 2^n) complex64.
+    """weights (S, 3, n) -> (Ur, Ui), each (n_blocks, 2^n, 2^n) float32.
 
     Sublayer unitaries are built vmapped (uniform small matmuls), then folded
     per block.  Blocks are grouped by linear_depth so the fold is a static
     unrolled chain (trunk/branch groups in practice).
     """
     n = spec.n_qubits
-    subs = jax.vmap(lambda w: _sublayer_unitary(w, n))(weights)  # (S, D, D)
+    sub_r, sub_i = jax.vmap(lambda w: _sublayer_unitary(w, n))(weights)
 
-    blocks = []
+    blocks_r, blocks_i = [], []
     s = 0
     i = 0
     while i < spec.n_blocks:
@@ -146,40 +234,99 @@ def compile_block_unitaries(spec: HEASpec, weights):
             j += 1
         g = j - i  # group of g consecutive blocks with equal linear_depth
         if ld == 0:  # encoding-only block: identity ansatz
-            eye = jnp.eye(spec.dim, dtype=jnp.complex64)
-            u = jnp.broadcast_to(eye, (g, spec.dim, spec.dim))
+            eye = jnp.eye(spec.dim, dtype=jnp.float32)
+            ur = jnp.broadcast_to(eye, (g, spec.dim, spec.dim))
+            ui = jnp.zeros((g, spec.dim, spec.dim), jnp.float32)
         else:
-            group = subs[s:s + g * ld].reshape(g, ld, spec.dim, spec.dim)
-            u = group[:, 0]
+            gr = sub_r[s:s + g * ld].reshape(g, ld, spec.dim, spec.dim)
+            gi = sub_i[s:s + g * ld].reshape(g, ld, spec.dim, spec.dim)
+            ur, ui = gr[:, 0], gi[:, 0]
             for d in range(1, ld):
-                u = jnp.einsum('bij,bjk->bik', group[:, d], u)
-        blocks.append(u)
+                ar, ai = gr[:, d], gi[:, d]
+                # (A)(U): complex product, batched over the group axis
+                new_r = jnp.einsum('bij,bjk->bik', ar, ur) \
+                    - jnp.einsum('bij,bjk->bik', ai, ui)
+                new_i = jnp.einsum('bij,bjk->bik', ar, ui) \
+                    + jnp.einsum('bij,bjk->bik', ai, ur)
+                ur, ui = new_r, new_i
+        blocks_r.append(ur)
+        blocks_i.append(ui)
         s += g * ld
         i = j
-    return jnp.concatenate(blocks, axis=0) if len(blocks) > 1 else blocks[0]
+    if len(blocks_r) > 1:
+        return jnp.concatenate(blocks_r, 0), jnp.concatenate(blocks_i, 0)
+    return blocks_r[0], blocks_i[0]
 
 
-def _forward_dense(spec: HEASpec, weights, x):
-    """Final statevector via the compiled block-unitary path.
+def _forward_dense(spec: HEASpec, weights, x, unroll=8):
+    """Final statevector (sr, si) via the compiled block-unitary path,
+    in the Hadamard-diagonal formulation.
+
+    Since RX(θ) = H RZ(θ) H, each encoding layer is
+    ⊗RX(x_b) = H^{⊗n} D(x_b) H^{⊗n} with DIAGONAL
+    D(x_b)_k = exp(-i/2 Σ_i zsign[k,i] x_{b,i}).  Folding the Hadamards
+    into the (batch-independent) block unitaries, the circuit becomes
+
+        ψ = M_B D(x_B) M_{B-1} ... M_1 D(x_1) s0,
+        M_b = H U_b H (b < B),  M_B = U_B H,  s0 = H|0…0⟩ = uniform,
+
+    so ALL per-sample phases are ONE (B·batch, n)x(n, 2^n) matmul hoisted
+    out of the block scan, and the scan body is just a complex diagonal
+    multiply + one Karatsuba complex matmul (3 real MXU matmuls).
 
     x: (batch, n_blocks * n_qubits) encoding angles, block-major.
     """
     n = spec.n_qubits
     batch = x.shape[0]
-    block_u = compile_block_unitaries(spec, weights)     # (B, D, D)
-    xb = x.reshape(batch, spec.n_blocks, n).transpose(1, 0, 2)  # (B, batch, n)
+    dim = spec.dim
+    nb = spec.n_blocks
 
-    state0 = jnp.zeros((batch, spec.dim), dtype=jnp.complex64)
-    state0 = state0.at[:, 0].set(1.0)
+    ur, ui = compile_block_unitaries(spec, weights)      # (B, D, D)
+    hk = jnp.asarray(hadamard_kron(n))
+    # M_b = H @ U_b @ H, except the last block keeps its left side bare
+    uh_r = ur @ hk                                       # (B, D, D)
+    uh_i = ui @ hk
+    m_r = jnp.concatenate([hk @ uh_r[:-1], uh_r[-1:]], axis=0)
+    m_i = jnp.concatenate([hk @ uh_i[:-1], uh_i[-1:]], axis=0)
+    # pre-transpose for S @ M.T, pre-add for Karatsuba
+    mt_r = m_r.transpose(0, 2, 1)
+    mt_i = m_i.transpose(0, 2, 1)
+    mt_sum = mt_r + mt_i
+
+    # all encoding phases in one hoisted matmul
+    zsgn = jnp.asarray(z_signs(n))                       # (D, n)
+    xb = x.reshape(batch, nb, n).transpose(1, 0, 2)      # (B, batch, n)
+    phi = 0.5 * (xb @ zsgn.T)                            # (B, batch, D)
+    dr = jnp.cos(phi)
+    di = -jnp.sin(phi)
+
+    inv_sqrt = 1.0 / np.sqrt(dim)
+    sr = dr[0] * inv_sqrt                                # D(x_1) · H|0>
+    si = di[0] * inv_sqrt
 
     def step(state, inp):
-        ang, u = inp
-        state = apply_rx_layer(state, ang, n)
-        state = state @ u.T          # (U ψ)_i = Σ_j U[i,j] ψ_j, batched
-        return state, None
+        sr, si = state
+        tr, ti, tsum, pr, pi = inp
+        # s <- M_b s  (Karatsuba: 3 real matmuls)
+        t1 = sr @ tr
+        t2 = si @ ti
+        t3 = (sr + si) @ tsum
+        sr, si = t1 - t2, t3 - t1 - t2
+        # s <- D(x_{b+1}) ⊙ s
+        nr = pr * sr - pi * si
+        ni = pr * si + pi * sr
+        return (nr, ni), None
 
-    state, _ = jax.lax.scan(step, state0, (xb, block_u))
-    return state
+    if nb > 1:
+        (sr, si), _ = jax.lax.scan(
+            step, (sr, si),
+            (mt_r[:-1], mt_i[:-1], mt_sum[:-1], dr[1:], di[1:]),
+            unroll=min(unroll, nb - 1))
+    # final block matmul
+    t1 = sr @ mt_r[-1]
+    t2 = si @ mt_i[-1]
+    t3 = (sr + si) @ mt_sum[-1]
+    return t1 - t2, t3 - t1 - t2
 
 
 # ── gates path: literal per-gate application (oracle / large-n) ─────────────
@@ -189,65 +336,77 @@ def _forward_gates(spec: HEASpec, weights, x):
     (core/quantum_circuits_tq.py:79-102)."""
     n = spec.n_qubits
     batch = x.shape[0]
-    state = jnp.zeros((batch, spec.dim), dtype=jnp.complex64)
-    state = state.at[:, 0].set(1.0)
+    sr, si = _init_state(batch, spec.dim)
 
     col = 0
     sub = 0
     for n_encode, linear_depth in spec.block_configs:
+        # encoding: RX(x_col) on wire j%n (quantum_circuits_tq.py:79-86)
         for j in range(n_encode):
             wire = j % n
             if col < x.shape[1]:
-                th = x[:, col]
-                c = jnp.cos(th / 2.0).astype(jnp.complex64)
-                s = (-1j * jnp.sin(th / 2.0)).astype(jnp.complex64)
-                mat = jnp.stack(
-                    [jnp.stack([c, s], axis=-1),
-                     jnp.stack([s, c], axis=-1)], axis=-2)  # (batch, 2, 2)
-                state = apply_single_qubit(state, wire, mat, n)
+                sr, si = _rx_single(sr, si, wire, x[:, col], n)
             col += 1
         for _ in range(linear_depth):
             w = weights[sub]  # (3, n)
-            ry1 = ry_matrix(w[0]).astype(jnp.complex64)   # (n, 2, 2)
-            ry2 = ry_matrix(w[2]).astype(jnp.complex64)
             for i in range(n):
-                state = apply_single_qubit(state, i, ry1[i], n)
-                half = w[1, i] / 2.0
-                rz = jnp.array([[1.0, 0.0], [0.0, 0.0]], jnp.complex64) \
-                    * jnp.exp(-1j * half) + \
-                    jnp.array([[0.0, 0.0], [0.0, 1.0]], jnp.complex64) \
-                    * jnp.exp(1j * half)
-                state = apply_single_qubit(state, i, rz, n)
-                state = apply_single_qubit(state, i, ry2[i], n)
-            state = apply_cnot_ring(state, n)
+                c0, s0 = jnp.cos(w[0, i] / 2), jnp.sin(w[0, i] / 2)
+                sr, si = _apply_ry(sr, si, i, c0, s0, n)
+                sr, si = _apply_rz(sr, si, i, w[1, i] / 2, n)
+                c2, s2 = jnp.cos(w[2, i] / 2), jnp.sin(w[2, i] / 2)
+                sr, si = _apply_ry(sr, si, i, c2, s2, n)
+            sr, si = _apply_ring(sr, si, n)
             sub += 1
-    return state
+    return sr, si
+
+
+def _rx_single(sr, si, q, theta, n_qubits):
+    """RX(θ) on one qubit with per-sample θ (batch,)."""
+    batch = sr.shape[0]
+    half = theta / 2.0
+    c = jnp.cos(half)[:, None, None]
+    s = jnp.sin(half)[:, None, None]
+    lo = 2 ** q
+    hi = 2 ** (n_qubits - 1 - q)
+    r = sr.reshape(batch, hi, 2, lo)
+    i = si.reshape(batch, hi, 2, lo)
+    r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
+    i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
+    n0r = c * r0 + s * i1
+    n0i = c * i0 - s * r1
+    n1r = s * i0 + c * r1
+    n1i = -s * r0 + c * i1
+    sr = jnp.stack([n0r, n1r], axis=2).reshape(batch, -1)
+    si = jnp.stack([n0i, n1i], axis=2).reshape(batch, -1)
+    return sr, si
 
 
 # ── expectation ──────────────────────────────────────────────────────────────
 
-def diag_expectation(state, diag):
-    """⟨H⟩ for diagonal H: Σ_k |ψ_k|² d_k.  state (batch, D) -> (batch, 1)."""
-    probs = jnp.abs(state) ** 2
+def diag_expectation_pair(sr, si, diag):
+    """⟨H⟩ for diagonal H: Σ_k |ψ_k|² d_k -> (batch, 1)."""
+    probs = sr * sr + si * si
     return (probs @ diag.astype(probs.dtype))[:, None]
 
 
-def pauli_sum_expectation(state, pauli, n_qubits, offset, coeff):
+def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):
     """⟨offset + coeff·Σ_i P_i⟩ for P ∈ {X, Y} (MS-only ablation,
     reference quantum_circuits_ms.py:28-39)."""
-    batch = state.shape[0]
+    batch = sr.shape[0]
     total = jnp.zeros((batch,), jnp.float32)
     for q in range(n_qubits):
         lo = 2 ** q
         hi = 2 ** (n_qubits - 1 - q)
-        s = state.reshape(batch, hi, 2, lo)
-        s0, s1 = s[:, :, 0, :], s[:, :, 1, :]
+        r = sr.reshape(batch, hi, 2, lo)
+        i = si.reshape(batch, hi, 2, lo)
+        r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
+        i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
         if pauli == 'X':
-            # <X_q> = 2 Re Σ conj(ψ_0) ψ_1 over the q-th bit pairing
-            val = 2.0 * jnp.sum(jnp.real(jnp.conj(s0) * s1), axis=(1, 2))
+            # <X_q> = 2 Re Σ conj(ψ_0) ψ_1
+            val = 2.0 * jnp.sum(r0 * r1 + i0 * i1, axis=(1, 2))
         elif pauli == 'Y':
-            # Y|0>=i|1>, Y|1>=-i|0>  ->  <Y_q> = 2 Im Σ conj(ψ_0) ψ_1
-            val = 2.0 * jnp.sum(jnp.imag(jnp.conj(s0) * s1), axis=(1, 2))
+            # <Y_q> = 2 Im Σ conj(ψ_0) ψ_1
+            val = 2.0 * jnp.sum(r0 * i1 - i0 * r1, axis=(1, 2))
         else:
             raise ValueError(f"pauli must be X or Y, got {pauli}")
         total = total + val
@@ -262,12 +421,13 @@ def resolve_engine(engine: str, n_qubits: int) -> str:
     return engine
 
 
-def hea_forward_state(spec: HEASpec, weights, x, engine='auto'):
-    """Evolve |0…0⟩ through the HEA circuit.  Returns (batch, 2^n) complex64."""
+def hea_forward_pair(spec: HEASpec, weights, x, engine='auto'):
+    """Evolve |0…0⟩; returns (sr, si) each (batch, 2^n) float32."""
     engine = resolve_engine(engine, spec.n_qubits)
     if engine == 'dense':
         if not spec.uniform_encode:
-            raise ValueError("dense engine requires n_encode == n_qubits per block")
+            raise ValueError(
+                "dense engine requires n_encode == n_qubits per block")
         return _forward_dense(spec, weights, x)
     if engine == 'gates':
         return _forward_gates(spec, weights, x)
@@ -275,6 +435,14 @@ def hea_forward_state(spec: HEASpec, weights, x, engine='auto'):
         from quanonet_tpu.ops.pallas_hea import forward_pallas
         return forward_pallas(spec, weights, x)
     raise ValueError(f"unknown engine '{engine}'")
+
+
+def hea_forward_state(spec: HEASpec, weights, x, engine='auto'):
+    """Complex statevector (batch, 2^n) complex64.  Test/analysis helper —
+    complex dtypes do not lower on this TPU backend; use hea_expectation
+    or hea_forward_pair on device."""
+    sr, si = hea_forward_pair(spec, weights, x, engine=engine)
+    return sr + 1j * si
 
 
 def hea_expectation(spec: HEASpec, weights, x, diag=None, pauli='Z',
@@ -287,12 +455,13 @@ def hea_expectation(spec: HEASpec, weights, x, diag=None, pauli='Z',
     if pauli == 'Z' and resolve_engine(engine, spec.n_qubits) == 'pallas':
         from quanonet_tpu.ops.pallas_hea import hea_expectation_pallas
         return hea_expectation_pallas(spec, weights, x, diag)
-    state = hea_forward_state(spec, weights, x, engine=engine)
+    sr, si = hea_forward_pair(spec, weights, x, engine=engine)
     if pauli == 'Z':
         if diag is None:
             raise ValueError("Z-basis measurement requires a diagonal")
-        return diag_expectation(state, jnp.asarray(diag))
-    return pauli_sum_expectation(state, pauli, spec.n_qubits, offset, coeff)
+        return diag_expectation_pair(sr, si, jnp.asarray(diag))
+    return pauli_sum_expectation_pair(sr, si, pauli, spec.n_qubits,
+                                      offset, coeff)
 
 
 def init_ansatz_weights(key, spec: HEASpec):

@@ -1,0 +1,3 @@
+from quanonet_tpu.parallel.mesh import (
+    make_mesh, shard_batch, replicate, make_dp_train_step,
+)

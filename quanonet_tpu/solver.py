@@ -41,6 +41,29 @@ from quanonet_tpu.models import (
 QUANTUM_MODELS = ('QuanONet', 'HEAQNN')
 
 
+def enable_compilation_cache(path=None):
+    """Persistent XLA compilation cache.  On the tunneled TPU backend the
+    first execution of a program pays a ~200s one-time server-side cost;
+    the cache cuts repeat runs to seconds."""
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), '.jax_cache')
+    try:
+        jax.config.update('jax_compilation_cache_dir', path)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
+def _segment_size(epochs, cap=64):
+    """Largest divisor of ``epochs`` <= cap, so training uses EXACTLY one
+    compiled program shape (recompiles are expensive on the TPU tunnel)."""
+    for s in range(min(cap, epochs), 0, -1):
+        if epochs % s == 0:
+            return s
+    return 1
+
+
 def build_model(config, data):
     """Model factory (reference solver_ms.py:91-147 + solver_dde.py:108-212
     net-size policies).  Returns (flax module, input mode) where mode is
@@ -129,6 +152,7 @@ class Solver:
     (uniform interface, reference main.py:114-115)."""
 
     def __init__(self, config, input_sampler=None):
+        enable_compilation_cache()
         self.config = config
         self.operator_type = config['operator']
         self.model_type = config['model_type']
@@ -229,7 +253,7 @@ class Solver:
             sq = (pred - batch_out) ** 2 * m
             return jnp.sum(sq) / jnp.maximum(jnp.sum(mask) * per_sample, 1.0)
 
-        def train_epoch(carry, key):
+        def train_epoch(carry, key, inputs, outputs):
             params, opt_state = carry
             perm = jax.random.permutation(key, num_samples)
             pad_idx = jnp.concatenate(
@@ -257,11 +281,14 @@ class Solver:
             return (params, opt_state), (avg_loss, sse)
 
         @jax.jit
-        def run_segment(params, opt_state, best_loss, best_params, keys):
+        def run_segment(params, opt_state, best_loss, best_params, keys,
+                        inputs, outputs):
+            # data arrive as jit ARGUMENTS: closed-over device arrays would
+            # be lowered as giant MLIR constants (fails on the TPU tunnel)
             def epoch_step(carry, key):
                 params, opt_state, best_loss, best_params = carry
                 (params, opt_state), (avg_loss, sse) = train_epoch(
-                    (params, opt_state), key)
+                    (params, opt_state), key, inputs, outputs)
                 improved = avg_loss < best_loss
                 best_loss = jnp.where(improved, avg_loss, best_loss)
                 best_params = jax.tree_util.tree_map(
@@ -277,7 +304,8 @@ class Solver:
         base_key = jax.random.PRNGKey(seed if seed is not None else 0)
         all_keys = jax.random.split(base_key, epochs)
 
-        seg = int(config.get('epochs_per_sync', min(50, epochs)) or 1)
+        seg = int(config.get('epochs_per_sync')
+                  or _segment_size(epochs))
         best_loss_dev = jnp.asarray(np.inf, jnp.float32)
         best_params = params
         if_save = config.get('if_save', True)
@@ -287,7 +315,7 @@ class Solver:
             n = min(seg, epochs - done)
             params, opt_state, best_loss_dev, best_params, hist = run_segment(
                 params, opt_state, best_loss_dev, best_params,
-                all_keys[done:done + n])
+                all_keys[done:done + n], inputs, outputs)
             avg_losses = np.asarray(hist[0])
             sses = np.asarray(hist[1])
             for e in range(n):
