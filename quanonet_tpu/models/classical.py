@@ -93,9 +93,42 @@ def deeponet_layer_sizes(net_config, branch_in, trunk_in):
     return tuple(branch), tuple(trunk)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=32)
+def _dft_basis(n_points: int, modes: int):
+    """Truncated real-DFT analysis/synthesis matrices.
+
+    Exactly equivalent to rfft -> keep first ``modes`` -> zero-pad -> irfft
+    (the reference FNO keeps only the low modes, core/models_pt.py:248-252),
+    but in PURE REAL arithmetic: the TPU backend here cannot lower
+    complex64, and O(N·modes) matmuls ride the MXU better than an FFT for
+    the small mode counts FNO uses.
+
+    Returns (cos_f, sin_f, cos_b, sin_b):
+      X_re = x @ cos_f, X_im = x @ sin_f          (analysis, (N, modes))
+      out  = X_re @ cos_b - X_im @ sin_b          (synthesis, (modes, N))
+    """
+    p = np.arange(n_points)[:, None]
+    f = np.arange(modes)[None, :]
+    ang = 2.0 * np.pi * p * f / n_points
+    cos_f = np.cos(ang).astype(np.float32)
+    sin_f = (-np.sin(ang)).astype(np.float32)
+    # irfft synthesis weights: 1/N for f=0, 2/N for 0<f<N/2, 1/N at Nyquist
+    weight = np.full(modes, 2.0 / n_points)
+    weight[0] = 1.0 / n_points
+    if n_points % 2 == 0 and modes == n_points // 2 + 1:
+        weight[-1] = 1.0 / n_points
+    cos_b = (weight[:, None] * np.cos(ang).T).astype(np.float32)
+    sin_b = (weight[:, None] * np.sin(ang).T).astype(np.float32)
+    return cos_f, sin_f, cos_b, sin_b
+
+
 class SpectralConv1d(nn.Module):
     """Fourier spectral convolution (reference core/models_pt.py:218-252).
-    Operates on (batch, n_points, channels); FFT along the points axis."""
+    Operates on (batch, n_points, channels); truncated real DFT along the
+    points axis (see _dft_basis)."""
     in_channels: int
     out_channels: int
     modes: int
@@ -112,13 +145,20 @@ class SpectralConv1d(nn.Module):
         shape = (self.in_channels, self.out_channels, self.modes)
         w_re = self.param('w_re', nn.initializers.uniform(scale), shape)
         w_im = self.param('w_im', nn.initializers.uniform(scale), shape)
-        w = w_re + 1j * w_im
 
-        x_ft = jnp.fft.rfft(x, axis=1)                     # (b, f, in)
-        out_modes = jnp.einsum('bfi,iof->bfo', x_ft[:, :self.modes, :], w)
-        pad = freq_size - self.modes
-        out_ft = jnp.pad(out_modes, ((0, 0), (0, pad), (0, 0)))
-        return jnp.fft.irfft(out_ft, n=n_points, axis=1)   # (b, p, out)
+        cos_f, sin_f, cos_b, sin_b = map(jnp.asarray,
+                                         _dft_basis(n_points, self.modes))
+        # analysis: (b, p, i) -> (b, modes, i)
+        x_re = jnp.einsum('bpi,pf->bfi', x, cos_f)
+        x_im = jnp.einsum('bpi,pf->bfi', x, sin_f)
+        # complex channel mix per mode
+        o_re = (jnp.einsum('bfi,iof->bfo', x_re, w_re)
+                - jnp.einsum('bfi,iof->bfo', x_im, w_im))
+        o_im = (jnp.einsum('bfi,iof->bfo', x_re, w_im)
+                + jnp.einsum('bfi,iof->bfo', x_im, w_re))
+        # synthesis back to (b, p, o)
+        return (jnp.einsum('bfo,fp->bpo', o_re, cos_b)
+                - jnp.einsum('bfo,fp->bpo', o_im, sin_b))
 
 
 class FNO(nn.Module):

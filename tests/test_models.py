@@ -132,6 +132,32 @@ def test_fno_forward_and_nyquist_guard():
         bad.init(jax.random.PRNGKey(0), x)
 
 
+@pytest.mark.parametrize("N,modes,ci,co", [
+    (32, 8, 2, 3), (100, 15, 4, 4),
+    (33, 17, 2, 2),   # odd length, modes == freq_size
+    (32, 17, 3, 3),   # even length, Nyquist term included
+])
+def test_spectral_conv_matches_fft_reference(N, modes, ci, co):
+    """The truncated real-DFT implementation (TPU has no complex64) must be
+    numerically identical to the reference's rfft->slice->irfft
+    (core/models_pt.py:237-252)."""
+    from quanonet_tpu.models import SpectralConv1d
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, N, ci).astype(np.float32))
+    layer = SpectralConv1d(ci, co, modes)
+    params = layer.init(jax.random.PRNGKey(1), x)
+    out = np.asarray(layer.apply(params, x))
+
+    w = (np.asarray(params['params']['w_re'])
+         + 1j * np.asarray(params['params']['w_im']))
+    x_ft = np.fft.rfft(np.asarray(x), axis=1)
+    out_modes = np.einsum('bfi,iof->bfo', x_ft[:, :modes, :], w)
+    full = np.zeros((2, N // 2 + 1, co), complex)
+    full[:, :modes] = out_modes
+    ref = np.fft.irfft(full, n=N, axis=1)
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
 def test_fno_spectral_identity():
     # With zero spectral weights the conv output is 0 -> layer reduces to
     # relu(pointwise conv); checks the FFT plumbing doesn't distort shapes.
