@@ -1,0 +1,293 @@
+"""
+Standalone inference for QuanONet / HEAQNN / DeepONet / FNN / FNO.
+
+API and CLI mirror the reference's infer.py (reference infer.py:1-427):
+hyper-parameters are auto-parsed from the experiment-ID directory naming
+convention (the round-trip contract with logger.get_experiment_id), with
+keyword/CLI overrides.  Loads both checkpoint formats (.npz and MindSpore
+.ckpt) without MindSpore, plus this framework's own classical-model
+checkpoints.
+
+The reference's `cfg_for_dims` NameError on the quantum auto-data path
+(reference infer.py:362 — documented bug, SURVEY.md §2b) is fixed here:
+the parsed config is resolved before the data branch needs it.
+"""
+import argparse
+import os
+import re
+
+import numpy as np
+
+from quanonet_tpu import checkpoint as ckpt_io
+from quanonet_tpu.metrics import compute_metrics, rel_l2
+
+_NET_RE = re.compile(r'Net(\d+)-(\d+)-(\d+)-(\d+)')
+_NET2_RE = re.compile(r'Net(\d+)-(\d+)(?:[^-]|$)')
+_Q_RE = re.compile(r'_Q(\d+)')
+_S_RE = re.compile(r'_S([\d.]+)')
+_TF_RE = re.compile(r'_(TF|FF|NTF)_')
+_MODEL_RE = re.compile(r'_(QuanONet|HEAQNN|DeepONet|FNN|FNO)_')
+_QB_RE = re.compile(r'_(TQ|Qiskit|PL|torchquantum|qiskit|pennylane)_')
+_QB_MAP = {'TQ': 'torchquantum', 'Qiskit': 'qiskit', 'PL': 'pennylane'}
+_DATA_RE = re.compile(r'_(\d+)x(\d+)_Seed')
+
+_DEFAULTS = {
+    'model_type': 'QuanONet',
+    'num_qubits': 5,
+    'net_size': [40, 2, 20, 2],
+    # NOTE: the reference's infer defaults scale_coeff to 0.1 while its
+    # solvers default to 0.01 (documented discrepancy, SURVEY.md §2b);
+    # we keep the infer-side value for CLI parity.
+    'scale_coeff': 0.1,
+    'if_trainable_freq': True,
+    'ham_bound': [-5.0, 5.0],
+    'ham_diag': None,
+    'quantum_backend': 'jax',
+    'batch_size': 128,
+}
+
+
+def _parse_path(ckpt_path: str) -> dict:
+    """Extract hyper-parameters encoded in the checkpoint directory name
+    (reference infer.py:60-86)."""
+    name = os.path.basename(os.path.dirname(os.path.abspath(ckpt_path)))
+    cfg = {}
+    m = _MODEL_RE.search(name)
+    if m:
+        cfg['model_type'] = m.group(1)
+    m = _NET_RE.search(name)
+    if m:
+        cfg['net_size'] = [int(m.group(i)) for i in range(1, 5)]
+    else:
+        m = _NET2_RE.search(name)
+        if m:
+            cfg['net_size'] = [int(m.group(1)), int(m.group(2))]
+    m = _Q_RE.search(name)
+    if m:
+        cfg['num_qubits'] = int(m.group(1))
+    m = _S_RE.search(name)
+    if m:
+        cfg['scale_coeff'] = float(m.group(1))
+    m = _TF_RE.search(name)
+    if m:
+        cfg['if_trainable_freq'] = (m.group(1) == 'TF')
+    m = _QB_RE.search(name)
+    if m:
+        cfg['quantum_backend'] = _QB_MAP.get(m.group(1), m.group(1))
+    return cfg
+
+
+def _resolve_config(ckpt_path: str, overrides: dict) -> dict:
+    cfg = {**_DEFAULTS, **_parse_path(ckpt_path)}
+    cfg.update({k: v for k, v in overrides.items() if v is not None})
+    return cfg
+
+
+def _build_model(cfg: dict, branch_in: int, trunk_in: int):
+    from quanonet_tpu.models import (
+        FNN, FNO, DeepONet, HEAQNN, QuanONet, deeponet_layer_sizes,
+    )
+    mt = cfg['model_type']
+    net_size = tuple(cfg['net_size'])
+    if mt in ('QuanONet', 'HEAQNN'):
+        kw = dict(num_qubits=int(cfg['num_qubits']),
+                  net_size=net_size,
+                  scale_coeff=float(cfg['scale_coeff']),
+                  if_trainable_freq=bool(cfg['if_trainable_freq']),
+                  ham_bound=tuple(cfg['ham_bound']),
+                  ham_diag=(tuple(cfg['ham_diag'])
+                            if cfg.get('ham_diag') is not None else None))
+        if mt == 'QuanONet':
+            return QuanONet(branch_input_size=branch_in,
+                            trunk_input_size=trunk_in, **kw)
+        return HEAQNN(input_size=branch_in, **kw)
+    if mt == 'DeepONet':
+        bl, tl = deeponet_layer_sizes(list(net_size), branch_in, trunk_in)
+        return DeepONet(branch_layers=bl, trunk_layers=tl)
+    if mt == 'FNN':
+        return FNN(net_size=net_size)
+    if mt == 'FNO':
+        ns = list(net_size)
+        return FNO(modes=int(ns[0]), width=int(ns[1]),
+                   layers=int(ns[2]) if len(ns) > 2 else 3,
+                   fc_hidden=int(ns[3]) if len(ns) > 3 else 32)
+    raise ValueError(f"Unknown model_type: {mt}")
+
+
+def load_model(ckpt_path: str, branch_in: int, trunk_in: int = 0,
+               **overrides):
+    """Load a model from a checkpoint (.ckpt / .npz).
+
+    Returns (model, params, cfg); run inference with
+    ``predict(model, params, branch, trunk, cfg=cfg)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _resolve_config(ckpt_path, overrides)
+    raw = ckpt_io.load_raw(ckpt_path)
+    mt = cfg['model_type']
+    model = _build_model(cfg, branch_in, trunk_in)
+
+    if mt in ('QuanONet', 'HEAQNN'):
+        tree = ckpt_io.quantum_params_from_raw(
+            raw, mt, tuple(cfg['net_size']), int(cfg['num_qubits']),
+            bool(cfg['if_trainable_freq']))
+    else:
+        tree = ckpt_io.unflatten_tree(raw)
+    params = jax.tree_util.tree_map(jnp.asarray, tree)
+    cfg['_backend'] = 'jax'
+    return model, params, cfg
+
+
+def predict(model, params, branch_input, trunk_input=None, cfg=None,
+            batch_size=128):
+    """Batched inference (reference infer.py:235-291 signature policy:
+    QuanONet/DeepONet take (branch, trunk); FNN takes the concatenation;
+    HEAQNN takes branch only; FNO takes the grid tensor)."""
+    import jax
+    import jax.numpy as jnp
+
+    model_type = (cfg or {}).get('model_type', 'QuanONet')
+    has_trunk_tuple = trunk_input is not None and \
+        model_type in ('QuanONet', 'DeepONet')
+    has_trunk_concat = trunk_input is not None and model_type in ('FNN',)
+
+    n = branch_input.shape[0]
+    fwd = jax.jit(lambda *inp: model.apply(params, *inp))
+    preds = []
+    for s in range(0, n, batch_size):
+        b = jnp.asarray(branch_input[s:s + batch_size].astype(np.float32))
+        if has_trunk_tuple:
+            t = jnp.asarray(trunk_input[s:s + batch_size].astype(np.float32))
+            out = fwd(b, t)
+        elif has_trunk_concat:
+            t = trunk_input[s:s + batch_size].astype(np.float32)
+            out = fwd(jnp.asarray(
+                np.concatenate([np.asarray(b), t], axis=1)))
+        else:
+            out = fwd(b)
+        preds.append(np.asarray(out))
+    return np.concatenate(preds, axis=0)
+
+
+def evaluate(y_pred, y_true):
+    """Rel-L2 / MSE / MAE (reference infer.py:294-302)."""
+    m = compute_metrics(y_true, y_pred)
+    return {'rel_l2': rel_l2(y_true, y_pred),
+            'mse': m['MSE'], 'mae': m['MAE']}
+
+
+# ── CLI ───────────────────────────────────────────────────────────────────────
+
+def _parser():
+    p = argparse.ArgumentParser(
+        description='QuanONet-TPU inference',
+        formatter_class=argparse.ArgumentDefaultsHelpFormatter)
+    p.add_argument('--ckpt', required=True,
+                   help='Checkpoint path (.ckpt / .npz)')
+    p.add_argument('--data', default=None,
+                   help='.npz with test_branch_input / test_trunk_input '
+                        '/ test_output')
+    p.add_argument('--branch', default=None,
+                   help='Branch input .npy (alternative to --data)')
+    p.add_argument('--trunk', default=None, help='Trunk input .npy')
+    p.add_argument('--num_points_0', type=int, default=None)
+    p.add_argument('--output', default=None,
+                   help='Save predictions to .npy or .npz')
+    p.add_argument('--batch_size', type=int, default=128)
+    p.add_argument('--model_type', default=None)
+    p.add_argument('--num_qubits', type=int, default=None)
+    p.add_argument('--net_size', type=int, nargs='+', default=None)
+    p.add_argument('--scale_coeff', type=float, default=None)
+    p.add_argument('--ham_bound', type=float, nargs=2, default=None)
+    return p
+
+
+def main(argv=None):
+    args = _parser().parse_args(argv)
+
+    y_true = None
+    if args.data:
+        d = np.load(args.data)
+        branch = d['test_branch_input'] if 'test_branch_input' in d.files \
+            else d['test_input']
+        trunk = d['test_trunk_input'] if 'test_trunk_input' in d.files \
+            else None
+        if 'test_output' in d.files:
+            y_true = d['test_output']
+    elif args.branch:
+        branch = np.load(args.branch)
+        trunk = np.load(args.trunk) if args.trunk else None
+    else:
+        # auto-generate test data from the checkpoint dirname
+        # (reference infer.py:348-384; its cfg_for_dims NameError fixed)
+        dir_name = os.path.basename(
+            os.path.dirname(os.path.abspath(args.ckpt)))
+        m_op = _MODEL_RE.search(dir_name)
+        m_data = _DATA_RE.search(dir_name)
+        operator = dir_name.split('_')[0] if dir_name else None
+        if not operator or not m_op:
+            raise SystemExit("Provide --data <file.npz> or "
+                             "--branch <file.npy>.")
+        num_train = int(m_data.group(1)) if m_data else 1000
+        num_points = int(m_data.group(2)) if m_data else 100
+        cfg_for_dims = _resolve_config(args.ckpt, {})
+        model_type_for_data = m_op.group(1)
+        if model_type_for_data in ('QuanONet', 'HEAQNN'):
+            branch_depth = cfg_for_dims['net_size'][0]
+            num_qubits = cfg_for_dims['num_qubits']
+            inferred_p0 = min(num_points, num_qubits * branch_depth)
+        else:
+            inferred_p0 = num_points
+        num_points_0 = (args.num_points_0 if args.num_points_0 is not None
+                        else inferred_p0)
+        from quanonet_tpu.data.manager import DataManager
+        data_cfg = {
+            'operator': operator, 'model_type': model_type_for_data,
+            'num_train': num_train, 'num_test': 1000,
+            'num_points': num_points, 'num_points_0': num_points_0,
+            'train_sample_num': 10, 'test_sample_num': 100,
+        }
+        print(f"[Auto] Generating test data for {operator} "
+              f"(num_points={num_points}, num_points_0={num_points_0}) ...")
+        data = DataManager(data_cfg).get_data()
+        branch = (data['test_branch_input']
+                  if 'test_branch_input' in data else data['test_input'])
+        trunk = data.get('test_trunk_input')
+        y_true = data.get('test_output')
+
+    branch_in = branch.shape[-1] if branch.ndim == 3 else branch.shape[1]
+    trunk_in = trunk.shape[1] if trunk is not None else 0
+
+    overrides = dict(model_type=args.model_type, num_qubits=args.num_qubits,
+                     net_size=args.net_size, scale_coeff=args.scale_coeff,
+                     ham_bound=args.ham_bound)
+    model, params, cfg = load_model(args.ckpt, branch_in=branch_in,
+                                    trunk_in=trunk_in, **overrides)
+    print(f"Model : {cfg['model_type']}  backend={cfg['_backend']}")
+    print(f"Config: net_size={cfg['net_size']}  "
+          f"num_qubits={cfg.get('num_qubits', '-')}")
+
+    preds = predict(model, params, branch, trunk, cfg=cfg,
+                    batch_size=args.batch_size)
+    print(f"Output: {preds.shape}")
+
+    if y_true is not None:
+        m = evaluate(preds, y_true)
+        print(f"Rel-L2 : {m['rel_l2']:.4f}  ({m['rel_l2']:.2%})")
+        print(f"MSE    : {m['mse']:.6f}")
+        print(f"MAE    : {m['mae']:.6f}")
+
+    if args.output:
+        if args.output.endswith('.npz'):
+            np.savez(args.output, predictions=preds,
+                     **(evaluate(preds, y_true) if y_true is not None else {}))
+        else:
+            np.save(args.output, preds)
+        print(f"Saved  : {args.output}")
+    return preds
+
+
+if __name__ == '__main__':
+    main()
