@@ -417,7 +417,11 @@ def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):
 
 def resolve_engine(engine: str, n_qubits: int) -> str:
     if engine in ('auto', None):
-        return 'dense' if n_qubits <= DENSE_MAX_QUBITS else 'gates'
+        if n_qubits > DENSE_MAX_QUBITS:
+            return 'gates'
+        # fused Pallas chain on TPU (falls back to dense beyond its VMEM
+        # budget); interpret-mode Pallas is slow on CPU, use dense there
+        return 'pallas' if jax.default_backend() == 'tpu' else 'dense'
     return engine
 
 

@@ -1,0 +1,78 @@
+"""
+Pallas fused-chain kernel tests (interpret mode on CPU): forward and
+gradient agreement with the dense XLA path, padding behaviour, and the
+VMEM fallback.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+from quanonet_tpu.ops.hea import hea_expectation, quanonet_spec
+from quanonet_tpu.ops.pallas_hea import _chain_workset_bytes, forward_pallas
+
+
+def _setup(nq=3, net=(4, 2, 3, 1), batch=5, seed=0):
+    spec = quanonet_spec(nq, net)
+    rng = np.random.RandomState(seed)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2,
+                                (batch, spec.total_encode)).astype(np.float32))
+    diag = jnp.asarray(simple_ham_diag(nq, -5, 5))
+    return spec, w, x, diag
+
+
+@pytest.mark.parametrize("nq,net,batch", [
+    (2, (5, 1, 5, 1), 4),     # shipped architecture
+    (3, (4, 2, 3, 1), 5),     # mixed linear depths, batch not mult of 8
+    (5, (4, 2, 2, 2), 16),
+])
+def test_pallas_matches_dense_forward(nq, net, batch):
+    spec, w, x, diag = _setup(nq, net, batch)
+    out_p = hea_expectation(spec, w, x, diag=diag, engine='pallas')
+    out_d = hea_expectation(spec, w, x, diag=diag, engine='dense')
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
+                               atol=1e-4)
+
+
+def test_pallas_matches_dense_grad():
+    spec, w, x, diag = _setup()
+
+    def loss(weights, xx, engine):
+        return jnp.sum(
+            hea_expectation(spec, weights, xx, diag=diag, engine=engine) ** 2)
+
+    gw_p, gx_p = jax.grad(lambda w_, x_: loss(w_, x_, 'pallas'),
+                          argnums=(0, 1))(w, x)
+    gw_d, gx_d = jax.grad(lambda w_, x_: loss(w_, x_, 'dense'),
+                          argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(np.asarray(gw_p), np.asarray(gw_d), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gx_p), np.asarray(gx_d), atol=2e-4)
+
+
+def test_pallas_fallback_on_vmem_budget():
+    # Q12 would need ~GBs of block matrices — must fall back, not crash
+    assert _chain_workset_bytes(60, 100, 2 ** 12) > 12 * 1024 * 1024
+    spec, w, x, diag = _setup(nq=2, net=(1, 1, 1, 1))
+    # nb < 2 path also falls back
+    spec1 = quanonet_spec(2, (1, 0, 0, 0))
+    w1 = jnp.zeros(spec1.weight_shape())
+    x1 = jnp.zeros((2, spec1.total_encode))
+    sr, si = forward_pallas(spec1, w1, x1)
+    assert sr.shape == (2, 4)
+
+
+def test_pallas_in_model():
+    from quanonet_tpu.models import QuanONet
+    kw = dict(num_qubits=2, branch_input_size=6, trunk_input_size=1,
+              net_size=(3, 1, 2, 1))
+    model_p = QuanONet(engine='pallas', **kw)
+    model_d = QuanONet(engine='dense', **kw)
+    b = jnp.asarray(np.random.RandomState(1).randn(4, 6).astype(np.float32))
+    t = jnp.asarray(np.random.RandomState(2).rand(4, 1).astype(np.float32))
+    params = model_d.init(jax.random.PRNGKey(0), b, t)
+    np.testing.assert_allclose(np.asarray(model_p.apply(params, b, t)),
+                               np.asarray(model_d.apply(params, b, t)),
+                               atol=1e-4)
