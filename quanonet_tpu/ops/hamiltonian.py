@@ -88,6 +88,37 @@ def walsh_hadamard_coeffs(diag_elements, num_qubits) -> np.ndarray:
     return (had @ d) / dim
 
 
+def generate_ham_diag_rank1(num_qubits, seed=None) -> np.ndarray:
+    """Rank-1 spectrum: one random position set to 5, the rest -5
+    (reference quantum_circuits_ms.py:66-76: one-hot * 10 - 5)."""
+    length = 2 ** num_qubits
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    arr = np.zeros(length)
+    idx = rng.choice(length, 1, replace=False)
+    arr[idx[0]] = 1
+    return arr * 10 - 5
+
+
+def generate_ham_spectrum_uniform(num_qubits, rank, seed=None) -> np.ndarray:
+    """Uniform eigenspectrum with ``rank`` non-zero values in [-5, 5] at
+    random positions (reference quantum_circuits_ms.py:79-125; even rank
+    avoids a zero eigenvalue)."""
+    length = 2 ** num_qubits
+    if rank > length:
+        raise ValueError(
+            f"Rank ({rank}) cannot be greater than Hilbert space "
+            f"dimension ({length}).")
+    if rank % 2 != 0:
+        print(f"Warning: Rank {rank} is odd. 0.0 might be included in the "
+              f"spectrum, reducing the effective rank.")
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    arr = np.zeros(length)
+    non_zero_vals = np.linspace(-5, 5, rank)
+    idx = rng.choice(length, rank, replace=False)
+    arr[idx] = non_zero_vals
+    return arr
+
+
 def resolve_ham_diag(num_qubits, ham_bound=None, ham_diag=None) -> np.ndarray:
     """Config → diagonal vector, following solver precedence
     (solvers/solver_ms.py:93-104): ham_diag overrides ham_bound."""
