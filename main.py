@@ -32,6 +32,18 @@ def main():
 
     set_random_seed(config.get('seed', 0))
 
+    if config.get('multi_seed'):
+        from quanonet_tpu.multiseed import train_multi_seed
+        try:
+            train_multi_seed(config)
+            print("\nExecution Finished Successfully.")
+        except Exception as e:
+            print(f"\nExecution Failed: {e}")
+            import traceback
+            traceback.print_exc()
+            sys.exit(1)
+        return
+
     from quanonet_tpu.solver import Solver
     try:
         solver = Solver(config)

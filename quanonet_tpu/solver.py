@@ -147,6 +147,76 @@ def build_optimizer(config, total_steps):
     return opt_cls(schedule, **opt_kw)
 
 
+def make_train_epoch(model_apply, optimizer, num_samples, batch_size,
+                     per_sample):
+    """One training epoch as a pure function:
+    ((params, opt_state), key, inputs, outputs) -> ((params, opt_state),
+    (avg_loss, sse)).  Static-shape masked ragged batches reproduce the
+    reference's per-epoch averaging (solver_ms.py:219-245); also the unit
+    that multi-seed training vmaps over (quanonet_tpu/multiseed.py)."""
+    num_batches = max(1, int(np.ceil(num_samples / batch_size)))
+    padded = num_batches * batch_size
+
+    def batch_loss(p, batch_in, batch_out, mask):
+        pred = model_apply(p, *batch_in)
+        m = mask.reshape(mask.shape + (1,) * (pred.ndim - 1))
+        sq = (pred - batch_out) ** 2 * m
+        return jnp.sum(sq) / jnp.maximum(jnp.sum(mask) * per_sample, 1.0)
+
+    def train_epoch(carry, key, inputs, outputs):
+        params, opt_state = carry
+        perm = jax.random.permutation(key, num_samples)
+        pad_idx = jnp.concatenate(
+            [perm, perm[:padded - num_samples]])  # wrap, masked out below
+        mask_flat = (jnp.arange(padded) < num_samples).astype(jnp.float32)
+        idx = pad_idx.reshape(num_batches, batch_size)
+        masks = mask_flat.reshape(num_batches, batch_size)
+
+        def step(carry, b):
+            params, opt_state = carry
+            bi, bm = b
+            batch_in = tuple(a[bi] for a in inputs)
+            batch_out = outputs[bi]
+            loss, grads = jax.value_and_grad(batch_loss)(
+                params, batch_in, batch_out, bm)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss, jnp.sum(bm))
+
+        (params, opt_state), (losses, counts) = jax.lax.scan(
+            step, (params, opt_state), (idx, masks))
+        avg_loss = jnp.mean(losses)
+        # running rel-L2 from accumulated SSE (solver_ms.py:240-245)
+        sse = jnp.sum(losses * counts * per_sample)
+        return (params, opt_state), (avg_loss, sse)
+
+    return train_epoch
+
+
+def make_run_segment(train_epoch):
+    """Jit a multi-epoch segment with on-device best-param tracking.
+    Data arrive as jit ARGUMENTS: closed-over device arrays would be
+    lowered as giant MLIR constants (fails on the TPU tunnel)."""
+    @jax.jit
+    def run_segment(params, opt_state, best_loss, best_params, keys,
+                    inputs, outputs):
+        def epoch_step(carry, key):
+            params, opt_state, best_loss, best_params = carry
+            (params, opt_state), (avg_loss, sse) = train_epoch(
+                (params, opt_state), key, inputs, outputs)
+            improved = avg_loss < best_loss
+            best_loss = jnp.where(improved, avg_loss, best_loss)
+            best_params = jax.tree_util.tree_map(
+                lambda b, p: jnp.where(improved, p, b),
+                best_params, params)
+            return (params, opt_state, best_loss, best_params), \
+                (avg_loss, sse)
+        (params, opt_state, best_loss, best_params), hist = jax.lax.scan(
+            epoch_step, (params, opt_state, best_loss, best_params), keys)
+        return params, opt_state, best_loss, best_params, hist
+    return run_segment
+
+
 class Solver:
     """__init__(config) / train() -> history / evaluate(history) -> metrics
     (uniform interface, reference main.py:114-115)."""
@@ -243,62 +313,10 @@ class Solver:
         opt_state = optimizer.init(params)
         out_norm_sq = float(np.sum(self.train_output.astype(np.float64) ** 2))
 
-        model_apply = self.model.apply
-
         per_sample = int(np.prod(self.train_output.shape[1:]))
-
-        def batch_loss(p, batch_in, batch_out, mask):
-            pred = model_apply(p, *batch_in)
-            m = mask.reshape(mask.shape + (1,) * (pred.ndim - 1))
-            sq = (pred - batch_out) ** 2 * m
-            return jnp.sum(sq) / jnp.maximum(jnp.sum(mask) * per_sample, 1.0)
-
-        def train_epoch(carry, key, inputs, outputs):
-            params, opt_state = carry
-            perm = jax.random.permutation(key, num_samples)
-            pad_idx = jnp.concatenate(
-                [perm, perm[:padded - num_samples]])  # wrap, masked out below
-            mask_flat = (jnp.arange(padded) < num_samples).astype(jnp.float32)
-            idx = pad_idx.reshape(num_batches, batch_size)
-            masks = mask_flat.reshape(num_batches, batch_size)
-
-            def step(carry, b):
-                params, opt_state = carry
-                bi, bm = b
-                batch_in = tuple(a[bi] for a in inputs)
-                batch_out = outputs[bi]
-                loss, grads = jax.value_and_grad(batch_loss)(
-                    params, batch_in, batch_out, bm)
-                updates, opt_state = optimizer.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss, jnp.sum(bm))
-
-            (params, opt_state), (losses, counts) = jax.lax.scan(
-                step, (params, opt_state), (idx, masks))
-            avg_loss = jnp.mean(losses)
-            # running rel-L2 from accumulated SSE (solver_ms.py:240-245)
-            sse = jnp.sum(losses * counts * per_sample)
-            return (params, opt_state), (avg_loss, sse)
-
-        @jax.jit
-        def run_segment(params, opt_state, best_loss, best_params, keys,
-                        inputs, outputs):
-            # data arrive as jit ARGUMENTS: closed-over device arrays would
-            # be lowered as giant MLIR constants (fails on the TPU tunnel)
-            def epoch_step(carry, key):
-                params, opt_state, best_loss, best_params = carry
-                (params, opt_state), (avg_loss, sse) = train_epoch(
-                    (params, opt_state), key, inputs, outputs)
-                improved = avg_loss < best_loss
-                best_loss = jnp.where(improved, avg_loss, best_loss)
-                best_params = jax.tree_util.tree_map(
-                    lambda b, p: jnp.where(improved, p, b),
-                    best_params, params)
-                return (params, opt_state, best_loss, best_params), \
-                    (avg_loss, sse)
-            (params, opt_state, best_loss, best_params), hist = jax.lax.scan(
-                epoch_step, (params, opt_state, best_loss, best_params), keys)
-            return params, opt_state, best_loss, best_params, hist
+        train_epoch = make_train_epoch(self.model.apply, optimizer,
+                                       num_samples, batch_size, per_sample)
+        run_segment = make_run_segment(train_epoch)
 
         seed = config.get('seed', 0)
         base_key = jax.random.PRNGKey(seed if seed is not None else 0)

@@ -1,0 +1,68 @@
+"""
+Multi-seed vmapped training tests: S seeds in one program produce S
+distinct trained models with full per-seed artifact contracts.
+"""
+import json
+import os
+
+import numpy as np
+import pytest
+
+import quanonet_tpu.data.generation as gen
+from quanonet_tpu.multiseed import train_multi_seed
+
+
+@pytest.fixture(autouse=True)
+def _isolate(tmp_path, monkeypatch):
+    monkeypatch.setattr(gen, 'DATA_ROOT', str(tmp_path / 'raw'))
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(0)
+    yield
+
+
+def test_multiseed_quanonet(tmp_path):
+    cfg = dict(operator='Antideriv', model_type='QuanONet',
+               num_train=20, num_test=10, num_points=40, num_points_0=8,
+               train_sample_num=5, test_sample_num=8,
+               batch_size=25, num_epochs=10, learning_rate=0.01,
+               num_qubits=2, net_size=[2, 1, 2, 1],
+               scale_coeff=0.01, if_trainable_freq='true',
+               ham_bound=[-5, 5], ham_pauli='Z',
+               multi_seed=[0, 1, 2], prefix='outputs')
+    metrics = train_multi_seed(cfg)
+    assert set(metrics) == {0, 1, 2}
+    rels = [metrics[s]['rel_l2'] for s in (0, 1, 2)]
+    assert all(np.isfinite(r) for r in rels)
+    # different seeds -> different models -> (almost surely) different errors
+    assert len({round(r, 9) for r in rels}) > 1
+
+    # per-seed artifact contract
+    for s in (0, 1, 2):
+        d = (f'outputs/Antideriv/Antideriv_QuanONet_Net2-1-2-1_Q2_TF_S0.01'
+             f'_20x40_Seed{s}')
+        assert os.path.exists(os.path.join(d, 'metric.json')), d
+        assert os.path.exists(os.path.join(d, 'best_model.npz'))
+        m = json.load(open(os.path.join(d, 'metric.json')))
+        assert 'rel_l2' in m['metrics']
+        w = np.load(os.path.join(d, 'best_model.npz'))
+        assert w['QuanONet.weight'].shape == (2 * 1 * 3 * 2 + 2 * 1 * 3 * 2,)
+
+    # seeds produced distinct weights
+    w0 = np.load('outputs/Antideriv/Antideriv_QuanONet_Net2-1-2-1_Q2_TF_'
+                 'S0.01_20x40_Seed0/best_model.npz')['QuanONet.weight']
+    w1 = np.load('outputs/Antideriv/Antideriv_QuanONet_Net2-1-2-1_Q2_TF_'
+                 'S0.01_20x40_Seed1/best_model.npz')['QuanONet.weight']
+    assert not np.allclose(w0, w1)
+
+
+def test_multiseed_resume_skip(tmp_path, capsys):
+    cfg = dict(operator='Antideriv', model_type='QuanONet',
+               num_train=12, num_test=6, num_points=30, num_points_0=6,
+               train_sample_num=4, test_sample_num=5,
+               batch_size=48, num_epochs=4, learning_rate=0.01,
+               num_qubits=2, net_size=[1, 1, 1, 1],
+               scale_coeff=0.01, if_trainable_freq='true',
+               multi_seed=[0, 1], prefix='outputs')
+    train_multi_seed(dict(cfg))
+    out = train_multi_seed(dict(cfg))
+    assert out == {0: None, 1: None}  # all seeds resume-skipped
