@@ -1,0 +1,136 @@
+#!/usr/bin/env python3
+"""
+IBM Quantum hardware deployment CLI (reference ibm_inference.py:121-312).
+
+Loads a trained QuanONet checkpoint, folds the trainable-frequency affine
+map into concrete gate angles, runs an IDEAL simulation through the TPU
+engine (the reference uses qiskit's StatevectorEstimator for this step),
+SELF-VERIFIES the exported gate sequence by replaying it through the
+gate-by-gate engine, and writes OpenQASM 2.0 deployment artifacts.  When
+qiskit + an IBM token are available the real-QPU path (least_busy backend,
+calibration-aware qubit routing, EstimatorV2, 10,000 shots) activates.
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from quanonet_tpu.checkpoint import load_raw
+from quanonet_tpu.ibm_export import (
+    build_gate_list, ideal_predictions, qiskit_available,
+    simulate_gate_list, submit_to_ibm, to_qasm2, unpack_quanonet_weights,
+)
+from quanonet_tpu.infer import _parse_path, evaluate
+from quanonet_tpu.ops.hamiltonian import simple_ham_params
+
+
+def main():
+    p = argparse.ArgumentParser(description="QuanONet hardware deployment")
+    p.add_argument('--weight_path', type=str,
+                   default="/root/reference/pretrained_weights/Antideriv/"
+                           "Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001"
+                           "_1000x100_Seed0/best_model.npz")
+    p.add_argument('--simulator_only', action='store_true',
+                   help="Skip real hardware even if a token is set.")
+    p.add_argument('--input_func', type=str, choices=['cos', 'linear'],
+                   default='cos')
+    p.add_argument('--ham_bound', type=float, nargs=2, default=[-5.0, 5.0])
+    p.add_argument('--num_qubits', type=int, default=None)
+    p.add_argument('--export_dir', type=str, default='ibm_export',
+                   help="Where to write .qasm deployment artifacts")
+    p.add_argument('--export_points', type=int, default=3,
+                   help="Number of sample points to export as QASM")
+    p.add_argument('--shots', type=int, default=10_000)
+    args = p.parse_args()
+
+    if not os.path.exists(args.weight_path):
+        print(f"Warning: weights {args.weight_path} not found.")
+        return
+
+    path_cfg = _parse_path(args.weight_path)
+    net_size = path_cfg.get('net_size', [5, 1, 5, 1])
+    num_qubits = args.num_qubits or path_cfg.get('num_qubits', 2)
+    print(f"-> Architecture: net_size={net_size}, qubits={num_qubits}")
+
+    ham_offset, ham_coeff = simple_ham_params(num_qubits, *args.ham_bound)
+    raw = load_raw(args.weight_path)
+    trunk_w, branch_w, coeffs, bias = unpack_quanonet_weights(
+        raw, net_size, num_qubits)
+
+    # input function (reference ibm_inference.py:176-189)
+    num_points_0, num_points = 10, 100
+    trunk_vec = np.linspace(0, 1, num_points)
+    if args.input_func == 'cos':
+        branch_vec = np.cos(np.pi * np.linspace(0, 1, num_points_0))
+        true_solution = np.sin(np.pi * trunk_vec) / np.pi
+    else:
+        branch_vec = np.linspace(0, 1, num_points_0)
+        true_solution = 0.5 * trunk_vec ** 2
+
+    # ideal simulation on the TPU engine
+    print("\n--- Running Ideal Simulation (JAX engine) ---")
+    ideal_pred = ideal_predictions(raw, net_size, num_qubits, branch_vec,
+                                   trunk_vec, ham_bound=args.ham_bound)
+    m = evaluate(ideal_pred, true_solution)
+    print(f"[Ideal] MSE: {m['mse']:.2e} | Relative L2: {m['rel_l2']:.2%}")
+
+    # gate-level export + self-verification
+    os.makedirs(args.export_dir, exist_ok=True)
+    export_idx = np.linspace(0, num_points - 1, args.export_points,
+                             dtype=int)
+    max_dev = 0.0
+    for k in export_idx:
+        n_wires, ops = build_gate_list(branch_vec, [trunk_vec[k]],
+                                       trunk_w, branch_w, coeffs)
+        zsum = simulate_gate_list(n_wires, ops)
+        gate_pred = zsum * ham_coeff + ham_offset + bias
+        max_dev = max(max_dev, abs(gate_pred - ideal_pred[k]))
+        qasm_path = os.path.join(args.export_dir, f'circuit_point{k}.qasm')
+        with open(qasm_path, 'w') as f:
+            f.write(to_qasm2(n_wires, ops))
+    print(f"-> Exported {len(export_idx)} QASM circuits to "
+          f"{args.export_dir}/ (gate-level replay deviates "
+          f"{max_dev:.2e} from the fused engine)")
+    if max_dev > 1e-4:
+        print("❌ Export self-verification FAILED")
+        sys.exit(1)
+
+    manifest = {
+        'weight_path': args.weight_path,
+        'net_size': net_size, 'num_qubits': num_qubits,
+        'ham_offset': ham_offset, 'ham_coeff': ham_coeff, 'bias': bias,
+        'post_processing': 'pred = evs * ham_coeff + ham_offset + bias',
+        'observable': f'sum_i Z_i over {num_qubits} qubits',
+        'shots': args.shots,
+        'points': export_idx.tolist(),
+    }
+    with open(os.path.join(args.export_dir, 'manifest.json'), 'w') as f:
+        json.dump(manifest, f, indent=2)
+
+    # real-QPU path (qiskit-gated)
+    token = os.getenv("QISKIT_IBM_TOKEN")
+    if token and not args.simulator_only:
+        if not qiskit_available():
+            print("\nQISKIT_IBM_TOKEN set but qiskit is not installed; "
+                  "submit the exported .qasm files from a qiskit-enabled "
+                  "machine (see manifest.json for post-processing).")
+            return
+        qasms = [open(os.path.join(args.export_dir,
+                                   f'circuit_point{k}.qasm')).read()
+                 for k in export_idx]
+        try:
+            job, off, c = submit_to_ibm(qasms, num_qubits, args.ham_bound,
+                                        shots=args.shots)
+        except Exception as e:
+            print(f"QPU submission failed ({e}); ideal results above stand.")
+    else:
+        print("\n(no QISKIT_IBM_TOKEN / --simulator_only: ideal-only run; "
+              "QASM artifacts are the hardware hand-off)")
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,267 @@
+"""
+IBM Quantum deployment path (reference ibm_inference.py:1-312).
+
+The reference rebuilds the trained circuit in raw Qiskit with the
+trainable-frequency affine map folded into the RX angles, runs an ideal
+StatevectorEstimator, then optionally submits to a real QPU with
+calibration-aware qubit routing.  Here the deployment artifact is built
+WITHOUT qiskit (not installed in this environment):
+
+* ``build_gate_list``     — the fully-resolved gate sequence per input
+  point, angles folded (reference create_circuit:21-59, encode:33-36);
+* ``to_qasm2``            — OpenQASM 2.0 text (consumable by qiskit /
+  IBM Quantum / any QASM toolchain);
+* ``simulate_gate_list``  — runs the exported sequence through the
+  gate-by-gate engine: the export is SELF-VERIFYING against the model's
+  own prediction;
+* qiskit-gated extras (ideal estimator, least_busy + calibration-scored
+  qubit routing, EstimatorV2 submission) activate when qiskit is present.
+"""
+import numpy as np
+
+from quanonet_tpu.ops.hamiltonian import simple_ham_params
+
+
+def unpack_quanonet_weights(raw, net_size, num_qubits):
+    """Flat checkpoint -> per-layer structures (reference
+    ibm_inference.py:159-173: trunk-first flat order)."""
+    n_branch_layers, n_branch_hidden, n_trunk_layers, n_trunk_hidden = net_size
+    w = np.asarray(raw['QuanONet.weight'], np.float64)
+    trunk_count = n_trunk_layers * n_trunk_hidden * 3 * num_qubits
+    branch_count = n_branch_layers * n_branch_hidden * 3 * num_qubits
+    trunk_weights = w[:trunk_count].reshape(
+        n_trunk_layers, n_trunk_hidden, 3, num_qubits)
+    branch_weights = w[trunk_count:trunk_count + branch_count].reshape(
+        n_branch_layers, n_branch_hidden, 3, num_qubits)
+    t_w = np.asarray(raw['trunk_LinearLayer.Net2.weights']).reshape(
+        n_trunk_layers, num_qubits)
+    t_b = np.asarray(raw['trunk_LinearLayer.Net2.bias']).reshape(
+        n_trunk_layers, num_qubits)
+    b_w = np.asarray(raw['branch_LinearLayer.Net2.weights']).reshape(
+        n_branch_layers, num_qubits)
+    b_b = np.asarray(raw['branch_LinearLayer.Net2.bias']).reshape(
+        n_branch_layers, num_qubits)
+    coefficients = np.stack([np.concatenate([t_w, b_w], axis=0),
+                             np.concatenate([t_b, b_b], axis=0)], axis=1)
+    bias = float(np.asarray(raw['bias']).reshape(()))
+    return trunk_weights, branch_weights, coefficients, bias
+
+
+def build_gate_list(branch_inputs, trunk_inputs, trunk_weights,
+                    branch_weights, coefficients):
+    """Fully-resolved gate ops for one sample.
+
+    Returns (n_wires, ops) with ops = [('rx'|'ry'|'rz', qubit, angle) or
+    ('cx', control, target)].  Mirrors reference create_circuit:21-59:
+    cyclic feature tiling per layer, affine fold angle = x*w + b, ansatz
+    RY/RZ/RY + CNOT ring control=(i+1)%n -> target=i.
+    """
+    branch_inputs = np.asarray(branch_inputs, np.float64)
+    trunk_inputs = np.asarray(trunk_inputs, np.float64)
+    n_trunk_layers, n_trunk_hidden = trunk_weights.shape[:2]
+    n_branch_layers, n_branch_hidden = branch_weights.shape[:2]
+    n = trunk_weights.shape[-1]
+    branch_size, trunk_size = len(branch_inputs), len(trunk_inputs)
+    ops = []
+
+    def entangle():
+        for i in range(n):
+            ops.append(('cx', (i + 1) % n, i))
+
+    def ansatz(wl):
+        for j in range(n):
+            ops.append(('ry', j, float(wl[0][j])))
+            ops.append(('rz', j, float(wl[1][j])))
+            ops.append(('ry', j, float(wl[2][j])))
+
+    def encode(coeffs, feats):
+        for j in range(n):
+            angle = feats[j] * float(coeffs[0][j]) + float(coeffs[1][j])
+            ops.append(('rx', j, float(angle)))
+
+    for i in range(n_trunk_layers):
+        feats = [trunk_inputs[(i * n % trunk_size + j) % trunk_size]
+                 for j in range(n)]
+        encode(coefficients[i], feats)
+        for h in range(n_trunk_hidden):
+            ansatz(trunk_weights[i][h])
+            entangle()
+    for i in range(n_branch_layers):
+        feats = [branch_inputs[(i * n % branch_size + j) % branch_size]
+                 for j in range(n)]
+        encode(coefficients[n_trunk_layers + i], feats)
+        for h in range(n_branch_hidden):
+            ansatz(branch_weights[i][h])
+            entangle()
+    return n, ops
+
+
+def to_qasm2(n_wires, ops, measure=False):
+    """OpenQASM 2.0 emission."""
+    lines = ['OPENQASM 2.0;', 'include "qelib1.inc";',
+             f'qreg q[{n_wires}];']
+    if measure:
+        lines.append(f'creg c[{n_wires}];')
+    for op in ops:
+        if op[0] == 'cx':
+            lines.append(f'cx q[{op[1]}],q[{op[2]}];')
+        else:
+            lines.append(f'{op[0]}({op[2]!r}) q[{op[1]}];')
+    if measure:
+        lines += [f'measure q[{i}] -> c[{i}];' for i in range(n_wires)]
+    return '\n'.join(lines) + '\n'
+
+
+def simulate_gate_list(n_wires, ops):
+    """Run the exported gate sequence on the gate-by-gate engine.
+    Returns <Σ Z_i> (unscaled).  Used to self-verify the export."""
+    import jax.numpy as jnp
+    from quanonet_tpu.ops.gates import cnot_ring_permutation  # noqa: F401
+    from quanonet_tpu.ops.hea import (
+        _apply_ry, _apply_rz, _rx_single, _init_state,
+    )
+    from quanonet_tpu.ops.gates import z_signs
+
+    sr, si = _init_state(1, 2 ** n_wires)
+    for op in ops:
+        if op[0] == 'rx':
+            sr, si = _rx_single(sr, si, op[1],
+                                jnp.asarray([op[2]], jnp.float32), n_wires)
+        elif op[0] == 'ry':
+            c = jnp.cos(jnp.float32(op[2]) / 2)
+            s = jnp.sin(jnp.float32(op[2]) / 2)
+            sr, si = _apply_ry(sr, si, op[1], c, s, n_wires)
+        elif op[0] == 'rz':
+            sr, si = _apply_rz(sr, si, op[1], jnp.float32(op[2]) / 2,
+                               n_wires)
+        elif op[0] == 'cx':
+            c, t = op[1], op[2]
+            dim = 2 ** n_wires
+            k = np.arange(dim)
+            perm = k ^ (((k >> c) & 1) << t)
+            inv = np.empty_like(perm)
+            inv[perm] = k
+            sr = sr[:, inv]
+            si = si[:, inv]
+        else:
+            raise ValueError(f"unknown op {op[0]}")
+    probs = np.asarray(sr * sr + si * si)[0]
+    zs = z_signs(n_wires).sum(axis=1)
+    return float(probs @ zs)
+
+
+def ideal_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
+                      ham_bound=(-5.0, 5.0)):
+    """Ideal (noise-free) predictions for all trunk points using the fused
+    engine — the analog of the reference's StatevectorEstimator step
+    (ibm_inference.py:205-213)."""
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.checkpoint import quantum_params_from_raw
+    from quanonet_tpu.models import QuanONet
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        quantum_params_from_raw(raw, 'QuanONet', tuple(net_size),
+                                num_qubits, True))
+    model = QuanONet(num_qubits=num_qubits,
+                     branch_input_size=len(branch_vec),
+                     trunk_input_size=1, net_size=tuple(net_size),
+                     if_trainable_freq=True, ham_bound=tuple(ham_bound))
+    n_pts = len(trunk_points)
+    b = jnp.asarray(np.tile(branch_vec, (n_pts, 1)).astype(np.float32))
+    t = jnp.asarray(np.asarray(trunk_points, np.float32).reshape(-1, 1))
+    return np.asarray(model.apply(params, b, t))[:, 0]
+
+
+# ── qiskit-gated extras ──────────────────────────────────────────────────────
+
+def qiskit_available() -> bool:
+    try:
+        import qiskit  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def profile_hardware(backend):
+    """Calibration-aware qubit-pair scoring (reference
+    ibm_inference.py:68-118): score = 2q-gate error + readout errors;
+    reports T1/T2.  Requires a qiskit backend object."""
+    props = backend.properties()
+    conf = backend.configuration()
+    basis_gates = conf.basis_gates
+    gate_name = 'ecr' if 'ecr' in basis_gates else (
+        'cz' if 'cz' in basis_gates else 'cx')
+
+    scored = []
+    seen = set()
+    for q1, q2 in conf.coupling_map:
+        key = tuple(sorted((q1, q2)))
+        if key in seen:
+            continue
+        seen.add(key)
+        try:
+            gp = (props.gate_property(gate_name, [q1, q2])
+                  or props.gate_property(gate_name, [q2, q1]))
+            if not gp or 'gate_error' not in gp:
+                continue
+            gate_err = gp['gate_error'][0]
+            ro1 = props.qubit_property(q1, 'readout_error')[0]
+            ro2 = props.qubit_property(q2, 'readout_error')[0]
+            t1 = (props.qubit_property(q1, 'T1')[0]
+                  + props.qubit_property(q2, 'T1')[0]) / 2 * 1e6
+            t2 = (props.qubit_property(q1, 'T2')[0]
+                  + props.qubit_property(q2, 'T2')[0]) / 2 * 1e6
+            scored.append({'pair': [q1, q2],
+                           'score': gate_err + ro1 + ro2,
+                           'gate_err': gate_err,
+                           'ro_avg': (ro1 + ro2) / 2,
+                           't1_avg': t1, 't2_avg': t2})
+        except Exception:
+            continue
+    scored.sort(key=lambda s: s['score'])
+    best = scored[0]
+    print(f"Recommended Best Pair : {best['pair']}")
+    print(f"  -> Avg T1 Time      : {best['t1_avg']:.1f} µs")
+    print(f"  -> Avg T2 Time      : {best['t2_avg']:.1f} µs")
+    print(f"  -> Gate Error       : {best['gate_err']:.4%}")
+    print(f"  -> Avg Readout Error: {best['ro_avg']:.4%}")
+    return best['pair']
+
+
+def submit_to_ibm(qasm_strs, num_qubits, ham_bound, shots=10_000,
+                  min_num_qubits=None):
+    """Submit exported circuits to the least-busy IBM backend with
+    calibration-aware initial layout (reference ibm_inference.py:244-276).
+    Requires qiskit + qiskit-ibm-runtime + QISKIT_IBM_TOKEN."""
+    if not qiskit_available():
+        raise ImportError(
+            "qiskit is not installed in this environment; the exported "
+            ".qasm files are the hand-off artifact — submit them from a "
+            "qiskit-enabled machine.")
+    import os
+    from qiskit import QuantumCircuit, transpile
+    from qiskit.quantum_info import SparsePauliOp
+    from qiskit_ibm_runtime import EstimatorV2, QiskitRuntimeService
+
+    token = os.getenv("QISKIT_IBM_TOKEN")
+    service = QiskitRuntimeService(channel="ibm_quantum_platform",
+                                   token=token)
+    backend = service.least_busy(
+        min_num_qubits=min_num_qubits or num_qubits + 1)
+    layout = profile_hardware(backend)[:num_qubits]
+    offset, coeff = simple_ham_params(num_qubits, *ham_bound)
+    ham = SparsePauliOp.from_sparse_list(
+        [("Z", [i], 1.0) for i in range(num_qubits)], num_qubits=num_qubits)
+    pubs = []
+    for qasm in qasm_strs:
+        qc = QuantumCircuit.from_qasm_str(qasm)
+        isa = transpile(qc, backend=backend, optimization_level=3,
+                        initial_layout=layout)
+        pubs.append((isa, [ham.apply_layout(isa.layout)]))
+    estimator = EstimatorV2(mode=backend)
+    estimator.options.default_shots = shots
+    job = estimator.run(pubs)
+    print(f"Submitted job: {job.job_id()}")
+    return job, offset, coeff
