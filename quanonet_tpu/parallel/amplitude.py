@@ -1,0 +1,223 @@
+"""
+Amplitude-sharded statevector engine — the scaling path for LARGE qubit
+counts (SURVEY.md §5.7).  Each extra qubit doubles the state; past ~Q16 a
+single chip's memory is the wall.  Here the 2^n amplitude axis is sharded
+across a device mesh: with P = 2^k devices in block layout, the top k
+qubits' bit values ARE the device index, so
+
+* gates on the n-k LOCAL qubits run entirely on-shard;
+* gates on a GLOBAL qubit exchange shards with one partner device via
+  ``jax.lax.ppermute`` (pairwise XOR pattern — the direct structural
+  analog of ring/context parallelism, riding ICI);
+* RZ on a global qubit is FREE of communication (diagonal: the device's
+  bit value is constant across its shard);
+* the CNOT ring needs at most one ppermute per global-qubit link;
+* the measurement is a local partial expectation + one psum.
+
+Everything is split real/imag float32 and differentiable (ppermute has a
+transpose rule), so sharded training works end-to-end.
+
+Used via ``hea_expectation_sharded(spec, weights, x, diag, mesh)``;
+validated against the single-device engine on a virtual 8-device mesh in
+tests/test_amplitude_sharding.py.
+"""
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from quanonet_tpu.ops.hea import HEASpec
+
+
+def _pairs_xor(n_dev, bit):
+    """ppermute pairs exchanging device d <-> d ^ (1 << bit)."""
+    return [(d, d ^ (1 << bit)) for d in range(n_dev)]
+
+
+def _swap_with_partner(arr, axis_name, n_dev, dev_bit):
+    return jax.lax.ppermute(arr, axis_name, _pairs_xor(n_dev, dev_bit))
+
+
+def _rx_local(sr, si, q, theta, local_n):
+    """Per-sample RX on a local qubit (theta: (batch,))."""
+    batch = sr.shape[0]
+    half = theta / 2.0
+    c = jnp.cos(half)[:, None, None]
+    s = jnp.sin(half)[:, None, None]
+    lo = 2 ** q
+    hi = 2 ** (local_n - 1 - q)
+    r = sr.reshape(batch, hi, 2, lo)
+    i = si.reshape(batch, hi, 2, lo)
+    r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
+    i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
+    sr = jnp.stack([c * r0 + s * i1, s * i0 + c * r1],
+                   axis=2).reshape(batch, -1)
+    si = jnp.stack([c * i0 - s * r1, -s * r0 + c * i1],
+                   axis=2).reshape(batch, -1)
+    return sr, si
+
+
+def _ry_local(sr, si, q, c, s, local_n):
+    batch = sr.shape[0]
+    lo = 2 ** q
+    hi = 2 ** (local_n - 1 - q)
+
+    def rot(a):
+        a = a.reshape(batch, hi, 2, lo)
+        a0, a1 = a[:, :, 0, :], a[:, :, 1, :]
+        return jnp.stack([c * a0 - s * a1, s * a0 + c * a1],
+                         axis=2).reshape(batch, -1)
+
+    return rot(sr), rot(si)
+
+
+def _rz_local(sr, si, q, half, local_n):
+    batch = sr.shape[0]
+    lo = 2 ** q
+    hi = 2 ** (local_n - 1 - q)
+    c, s = jnp.cos(half), jnp.sin(half)
+    r = sr.reshape(batch, hi, 2, lo)
+    i = si.reshape(batch, hi, 2, lo)
+    r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
+    i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
+    sr = jnp.stack([c * r0 + s * i0, c * r1 - s * i1],
+                   axis=2).reshape(batch, -1)
+    si = jnp.stack([c * i0 - s * r0, c * i1 + s * r1],
+                   axis=2).reshape(batch, -1)
+    return sr, si
+
+
+def _local_bits(local_n):
+    k = np.arange(2 ** local_n)
+    return k
+
+
+def make_sharded_hea(spec: HEASpec, mesh, axis='amp'):
+    """Build a jitted sharded expectation fn:
+    f(weights, x, diag) -> (batch, 1).
+
+    weights/x replicated; diag sharded over the amplitude axis.
+    """
+    n = spec.n_qubits
+    n_dev = mesh.shape[axis]
+    k = int(math.log2(n_dev))
+    if 2 ** k != n_dev:
+        raise ValueError(f"device count {n_dev} must be a power of 2")
+    if k > n:
+        raise ValueError(f"{n_dev} devices > 2^{n} amplitudes")
+    local_n = n - k
+    local_dim = 2 ** local_n
+
+    def rx_any(sr, si, q, theta, my_id):
+        if q < local_n:
+            return _rx_local(sr, si, q, theta, local_n)
+        # global qubit: partner exchange; uniform combine formula
+        dev_bit = q - local_n
+        pr = _swap_with_partner(sr, axis, n_dev, dev_bit)
+        pi = _swap_with_partner(si, axis, n_dev, dev_bit)
+        half = theta / 2.0
+        c = jnp.cos(half)[:, None]
+        s = jnp.sin(half)[:, None]
+        return c * sr + s * pi, c * si - s * pr
+
+    def ry_any(sr, si, q, c, s, my_id):
+        if q < local_n:
+            return _ry_local(sr, si, q, c, s, local_n)
+        dev_bit = q - local_n
+        pr = _swap_with_partner(sr, axis, n_dev, dev_bit)
+        pi = _swap_with_partner(si, axis, n_dev, dev_bit)
+        bit = (my_id >> dev_bit) & 1
+        sign = (2.0 * bit - 1.0)   # -s for |0> half, +s for |1> half
+        return c * sr + sign * s * pr, c * si + sign * s * pi
+
+    def rz_any(sr, si, q, half, my_id):
+        if q < local_n:
+            return _rz_local(sr, si, q, half, local_n)
+        dev_bit = q - local_n
+        bit = (my_id >> dev_bit) & 1
+        sgn = 2.0 * bit - 1.0       # e^{+iθ/2} on |1>, e^{-iθ/2} on |0>
+        c, s = jnp.cos(half), jnp.sin(half)
+        return c * sr - sgn * s * si, c * si + sgn * s * sr
+
+    def cnot_any(sr, si, control, target, my_id):
+        kidx = np.arange(local_dim)
+        if control < local_n and target < local_n:
+            perm = kidx ^ (((kidx >> control) & 1) << target)
+            inv = np.empty_like(perm)
+            inv[perm] = kidx
+            return sr[:, inv], si[:, inv]
+        if control >= local_n and target < local_n:
+            # flip target locally iff this device's control bit is 1
+            cbit = (my_id >> (control - local_n)) & 1
+            perm = kidx ^ (1 << target)
+            inv = np.empty_like(perm)
+            inv[perm] = kidx
+            fr, fi = sr[:, inv], si[:, inv]
+            return (jnp.where(cbit == 1, fr, sr),
+                    jnp.where(cbit == 1, fi, si))
+        if control < local_n and target >= local_n:
+            # exchange rows where the LOCAL control bit is 1
+            dev_bit = target - local_n
+            pr = _swap_with_partner(sr, axis, n_dev, dev_bit)
+            pi = _swap_with_partner(si, axis, n_dev, dev_bit)
+            cmask = jnp.asarray(((kidx >> control) & 1)
+                                .astype(np.float32))[None, :]
+            return sr * (1 - cmask) + pr * cmask, \
+                si * (1 - cmask) + pi * cmask
+        # both global
+        dev_bit_t = target - local_n
+        cbit = (my_id >> (control - local_n)) & 1
+        pr = _swap_with_partner(sr, axis, n_dev, dev_bit_t)
+        pi = _swap_with_partner(si, axis, n_dev, dev_bit_t)
+        return jnp.where(cbit == 1, pr, sr), jnp.where(cbit == 1, pi, si)
+
+    def body(weights, x, diag_local):
+        my_id = jax.lax.axis_index(axis)
+        batch = x.shape[0]
+        # |0...0> lives on device 0's local index 0
+        amp0 = jnp.where(my_id == 0, 1.0, 0.0)
+        sr = jnp.zeros((batch, local_dim), jnp.float32).at[:, 0].set(amp0)
+        si = jnp.zeros((batch, local_dim), jnp.float32)
+
+        col = 0
+        sub = 0
+        for n_encode, linear_depth in spec.block_configs:
+            for j in range(n_encode):
+                wire = j % n
+                if col < x.shape[1]:
+                    sr, si = rx_any(sr, si, wire, x[:, col], my_id)
+                col += 1
+            for _ in range(linear_depth):
+                w = weights[sub]
+                for i in range(n):
+                    c0, s0 = jnp.cos(w[0, i] / 2), jnp.sin(w[0, i] / 2)
+                    sr, si = ry_any(sr, si, i, c0, s0, my_id)
+                    sr, si = rz_any(sr, si, i, w[1, i] / 2, my_id)
+                    c2, s2 = jnp.cos(w[2, i] / 2), jnp.sin(w[2, i] / 2)
+                    sr, si = ry_any(sr, si, i, c2, s2, my_id)
+                if n > 1:
+                    for i in range(n):
+                        sr, si = cnot_any(sr, si, (i + 1) % n, i, my_id)
+                sub += 1
+
+        local = (sr * sr + si * si) @ diag_local       # (batch,)
+        total = jax.lax.psum(local, axis)
+        return total[:, None]
+
+    sharded = shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(axis)),
+        out_specs=P(),
+        check_rep=False)
+    return jax.jit(sharded)
+
+
+def hea_expectation_sharded(spec, weights, x, diag, mesh, axis='amp'):
+    """One-shot convenience wrapper around make_sharded_hea."""
+    f = make_sharded_hea(spec, mesh, axis=axis)
+    return f(jnp.asarray(weights), jnp.asarray(x),
+             jnp.asarray(diag, jnp.float32))
