@@ -212,7 +212,7 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp'):
         body, mesh=mesh,
         in_specs=(P(), P(), P(axis)),
         out_specs=P(),
-        check_rep=False)
+        check_vma=False)
     return jax.jit(sharded)
 
 
