@@ -83,6 +83,31 @@ ODE_SYSTEMS = {
 DATA_ROOT = os.environ.get('QUANONET_DATA_ROOT', 'data')
 
 
+def _native_ode_solve(operator_type, samples, num_cal, x_cal,
+                      u_cals, u0_cals) -> bool:
+    """Opt-in C++ batched RK4 path (QUANONET_NATIVE=1): ~200x the
+    per-sample SciPy loop.  Returns False to fall back when the native
+    library is unavailable.  NB: RK4 vs RK45 differ at ~1e-3 — cached raw
+    datasets generated with this path are not byte-identical to the
+    default path."""
+    try:
+        from quanonet_tpu.data.native import (
+            native_available, solve_ode_batch_native,
+        )
+        if not native_available():
+            return False
+        # evaluate each sample's u0_fn on the high-res grid for interp
+        grid = np.linspace(0, 1, _GRF_N)
+        u0_full = np.stack([fn(grid) for fn, _ in samples]).astype(np.float32)
+        u = solve_ode_batch_native(operator_type, u0_full, num_cal)
+        for i, (_, u0_cal) in enumerate(samples):
+            u_cals.append(u[i].astype(np.float64))
+            u0_cals.append(u0_cal)
+        return True
+    except Exception:
+        return False
+
+
 def generate_ode_operator_data(operator_type, num_train, num_test,
                                num_points, num_points_0,
                                length_scale=0.2, num_cal=1000,
@@ -114,10 +139,15 @@ def generate_ode_operator_data(operator_type, num_train, num_test,
                 lambda n: generate_random_gaussian_field(n, length_scale))
             samples = [sampler(num_cal) for _ in range(total_needed)]
 
+            use_native = os.environ.get('QUANONET_NATIVE') == '1'
             if operator_type == 'Identity':
                 for _, u0 in samples:
                     u_cals.append(u0.copy())
                     u0_cals.append(u0)
+            elif use_native and _native_ode_solve(operator_type, samples,
+                                                  num_cal, x_cal,
+                                                  u_cals, u0_cals):
+                pass  # solved by the C++ library (native.py)
             else:
                 def _solve_one(args):
                     u0_fn, u0_cal = args
