@@ -101,6 +101,9 @@ def get_base_parser():
                         help='Devices for the data-parallel mesh (default: all)')
     parser.add_argument('--multi_seed', type=int, nargs='+', default=None,
                         help='Train several seeds as one vmapped batch')
+    parser.add_argument('--profile', type=str, default=None,
+                        help='Write a jax.profiler trace of one training '
+                             'segment to this directory')
     return parser
 
 

@@ -327,13 +327,27 @@ class Solver:
         best_loss_dev = jnp.asarray(np.inf, jnp.float32)
         best_params = params
         if_save = config.get('if_save', True)
+        profile_dir = config.get('profile')
         t0 = time.time()
         done = 0
         while done < epochs:
             n = min(seg, epochs - done)
-            params, opt_state, best_loss_dev, best_params, hist = run_segment(
-                params, opt_state, best_loss_dev, best_params,
-                all_keys[done:done + n], inputs, outputs)
+            is_profile_seg = (done == seg) or (seg >= epochs and done == 0)
+            if profile_dir and is_profile_seg:
+                # profile the second segment (the first includes compile),
+                # or the only segment when there is just one
+                with jax.profiler.trace(profile_dir):
+                    params, opt_state, best_loss_dev, best_params, hist = \
+                        run_segment(params, opt_state, best_loss_dev,
+                                    best_params, all_keys[done:done + n],
+                                    inputs, outputs)
+                    jax.block_until_ready(params)
+                self.logger.info(f"Profiler trace written to {profile_dir}")
+            else:
+                params, opt_state, best_loss_dev, best_params, hist = \
+                    run_segment(params, opt_state, best_loss_dev,
+                                best_params, all_keys[done:done + n],
+                                inputs, outputs)
             avg_losses = np.asarray(hist[0])
             sses = np.asarray(hist[1])
             for e in range(n):
