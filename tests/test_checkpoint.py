@@ -76,6 +76,40 @@ def test_flatten_unflatten_roundtrip(tmp_path):
 
 
 @needs_ref
+@pytest.mark.parametrize("op,ckpt_dir,dcfg,max_rel", [
+    ('Darcy', 'Darcy/Darcy_QuanONet_Net40-2-20-2_Q5_TF_S0.1_1000x25_Seed0',
+     dict(num_points=25, num_points_0=100, train_sample_num=100,
+          test_sample_num=200), 0.15),
+    ('RDiffusion',
+     'RDiffusion/RDiffusion_QuanONet_Net40-2-20-2_Q5_TF_S0.1_1000x100_Seed0',
+     dict(num_points=100, num_points_0=100, train_sample_num=100,
+          test_sample_num=200), 0.15),
+])
+def test_golden_pde_checkpoints(tmp_path, monkeypatch, op, ckpt_dir, dcfg,
+                                max_rel):
+    """The shipped Q5 PDE .ckpt checkpoints produce trained-model-quality
+    rel-L2 on regenerated data (validates the whole PDE pipeline: solvers,
+    boundary/2-D interpolation, encoders, protobuf parsing, Q5 circuit).
+    Full-size runs give Darcy 0.074 / RDiffusion 0.070."""
+    import quanonet_tpu.data.generation as gen
+    monkeypatch.setattr(gen, 'DATA_ROOT', str(tmp_path / 'raw'))
+    from quanonet_tpu.data.manager import DataManager
+    from quanonet_tpu.infer import evaluate, load_model, predict
+
+    np.random.seed(0)
+    cfg = dict(operator=op, model_type='QuanONet', num_train=2,
+               num_test=15, **dcfg)
+    data = DataManager(cfg, data_dir=str(tmp_path / 'proc')).get_data()
+    model, params, mcfg = load_model(os.path.join(REF_WEIGHTS, ckpt_dir,
+                                                  'best_model.ckpt'),
+                                     branch_in=100, trunk_in=2)
+    preds = predict(model, params, data['test_branch_input'],
+                    data['test_trunk_input'], cfg=mcfg, batch_size=4096)
+    m = evaluate(preds, data['test_output'])
+    assert m['rel_l2'] < max_rel, m
+
+
+@needs_ref
 def test_golden_antideriv_parity(tmp_path, monkeypatch):
     """Shipped Q2 checkpoint -> Rel-L2 ~ 0.119 on regenerated seed-0 data
     (reference README.md:137-155 demo; 'same order of magnitude across
