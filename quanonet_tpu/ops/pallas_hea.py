@@ -6,20 +6,24 @@ The dense engine (ops/hea.py) reduces the circuit to
     s_1 = D(x_1) s0;   s_{b+1} = D(x_{b+1}) ⊙ (M_b s_b);   out = M_B s_B
 
 with batch-independent block matrices M_b and per-sample diagonal phases
-D(x_b).  Under XLA this is a scan of ~11 small ops per block; the kernels
-here fuse the ENTIRE chain (60 blocks for the flagship Q5 net) into one
-Pallas kernel each for forward and backward, keeping the statevector and
-all block matrices resident in VMEM for the whole circuit — zero
-inter-op scheduling overhead and no HBM round-trips between blocks.
+D(x_b)_k = e^{-i φ_{b,k}}.  Under XLA this is a scan of ~11 small ops per
+block; the kernels here fuse the ENTIRE chain (60 blocks for the flagship
+Q5 net) into one Pallas kernel each for forward and backward, keeping the
+statevector, all block matrices, and the raw phases resident in VMEM for
+the whole circuit — zero inter-op scheduling overhead and no HBM
+round-trips between blocks.  cos/sin of the phases are computed on the
+VPU in-kernel (forward AND backward), so the (B, batch, 2^n) trig
+intermediates that XLA would materialise never exist.
 
 Complex arithmetic is hand-rolled (re, im) float32 (no complex in Pallas,
 and this TPU backend has no complex64 anyway).
 
 Wired into the engine as ``engine='pallas'`` (quanonet_tpu/ops/hea.py);
-numerically identical to the dense path (same math, same order), verified
-in tests/test_pallas.py.  Falls back to the dense path when the working
-set exceeds the VMEM budget.
+numerically identical to the dense path, verified in tests/test_pallas.py.
+Falls back to the dense path when the working set exceeds the VMEM budget.
 """
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,73 +50,53 @@ def _pad_batch(a, mult=8):
 
 
 def _chain_workset_bytes(B, N, D):
-    # block mats (2), phases (2), states per block (2), current state (2)
-    return 4 * (2 * B * D * D + 2 * B * N * D + 2 * B * N * D + 2 * N * D)
+    # block mats (2), phases (1), saved states (2), live state + trig (~4)
+    return 4 * (2 * B * D * D + B * N * D + 2 * B * N * D + 4 * N * D)
 
 
-# ── forward kernel ───────────────────────────────────────────────────────────
+def _matmul_c(sr, si, tr, ti):
+    """(sr + i si) @ (tr + i ti): 4 MXU matmuls."""
+    ur = (jnp.dot(sr, tr, preferred_element_type=jnp.float32)
+          - jnp.dot(si, ti, preferred_element_type=jnp.float32))
+    ui = (jnp.dot(sr, ti, preferred_element_type=jnp.float32)
+          + jnp.dot(si, tr, preferred_element_type=jnp.float32))
+    return ur, ui
 
-def _fwd_kernel(nb):
-    def kernel(mtr_ref, mti_ref, dr_ref, di_ref,
+
+# ── kernels ──────────────────────────────────────────────────────────────────
+
+def _fwd_kernel(nb, inv_sqrt):
+    def kernel(mtr_ref, mti_ref, phi_ref,
                sr_out, si_out, str_out, sti_out):
-        sr = dr_ref[0]
-        si = di_ref[0]
+        p0 = phi_ref[0]
+        sr = jnp.cos(p0) * inv_sqrt          # D(x_1) · H|0…0⟩
+        si = -jnp.sin(p0) * inv_sqrt
         for b in range(nb - 1):
             # save block-input state for the backward sweep
             str_out[b] = sr
             sti_out[b] = si
-            tr = mtr_ref[b]
-            ti = mti_ref[b]
-            ur = (jnp.dot(sr, tr, preferred_element_type=jnp.float32)
-                  - jnp.dot(si, ti, preferred_element_type=jnp.float32))
-            ui = (jnp.dot(sr, ti, preferred_element_type=jnp.float32)
-                  + jnp.dot(si, tr, preferred_element_type=jnp.float32))
-            pr = dr_ref[b + 1]
-            pi = di_ref[b + 1]
+            ur, ui = _matmul_c(sr, si, mtr_ref[b], mti_ref[b])
+            phi = phi_ref[b + 1]
+            pr = jnp.cos(phi)
+            pi = -jnp.sin(phi)
             sr = pr * ur - pi * ui
             si = pr * ui + pi * ur
         str_out[nb - 1] = sr
         sti_out[nb - 1] = si
-        tr = mtr_ref[nb - 1]
-        ti = mti_ref[nb - 1]
-        sr_out[:] = (jnp.dot(sr, tr, preferred_element_type=jnp.float32)
-                     - jnp.dot(si, ti, preferred_element_type=jnp.float32))
-        si_out[:] = (jnp.dot(sr, ti, preferred_element_type=jnp.float32)
-                     + jnp.dot(si, tr, preferred_element_type=jnp.float32))
+        sr_out[:], si_out[:] = _matmul_c(sr, si, mtr_ref[nb - 1],
+                                         mti_ref[nb - 1])
     return kernel
 
 
-def _chain_fwd(mt_r, mt_i, dr, di):
-    nb, n, d = dr.shape
-    vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = (
-        jax.ShapeDtypeStruct((n, d), jnp.float32),      # sr
-        jax.ShapeDtypeStruct((n, d), jnp.float32),      # si
-        jax.ShapeDtypeStruct((nb, n, d), jnp.float32),  # saved states re
-        jax.ShapeDtypeStruct((nb, n, d), jnp.float32),  # saved states im
-    )
-    return pl.pallas_call(
-        _fwd_kernel(nb),
-        out_shape=out_shape,
-        in_specs=[vm, vm, vm, vm],
-        out_specs=(vm, vm, vm, vm),
-        interpret=_interpret(),
-    )(mt_r, mt_i, dr, di)
-
-
-# ── backward kernel ──────────────────────────────────────────────────────────
-
-def _bwd_kernel(nb):
-    def kernel(mtr_ref, mti_ref, dr_ref, di_ref, str_ref, sti_ref,
+def _bwd_kernel(nb, inv_sqrt):
+    def kernel(mtr_ref, mti_ref, phi_ref, str_ref, sti_ref,
                gr_ref, gi_ref,
-               mbar_r_out, mbar_i_out, dbar_r_out, dbar_i_out):
-        # final block: out = s_{B} M_B  (row-vector convention: s @ M^T is
-        # already folded into mt = M^T at the caller)
+               mbar_r_out, mbar_i_out, phibar_out):
         gr = gr_ref[:]
         gi = gi_ref[:]
         sr = str_ref[nb - 1]
         si = sti_ref[nb - 1]
-        # grads w.r.t. mt_{B-1}: ur = sr@tr - si@ti ; ui = sr@ti + si@tr
+        # grads w.r.t. mt_{B-1} and the state feeding the final matmul
         mbar_r_out[nb - 1] = (
             jnp.dot(sr.T, gr, preferred_element_type=jnp.float32)
             + jnp.dot(si.T, gi, preferred_element_type=jnp.float32))
@@ -128,20 +112,20 @@ def _bwd_kernel(nb):
 
         for b in range(nb - 2, -1, -1):
             # forward was: u = s_b M_b ; s_{b+1} = D_{b+1} ⊙ u
-            pr = dr_ref[b + 1]
-            pi = di_ref[b + 1]
+            phi = phi_ref[b + 1]
+            pr = jnp.cos(phi)
+            pi = -jnp.sin(phi)
             sr = str_ref[b]
             si = sti_ref[b]
-            # recompute u (cheaper than saving a second state array)
             tr = mtr_ref[b]
             ti = mti_ref[b]
-            ur = (jnp.dot(sr, tr, preferred_element_type=jnp.float32)
-                  - jnp.dot(si, ti, preferred_element_type=jnp.float32))
-            ui = (jnp.dot(sr, ti, preferred_element_type=jnp.float32)
-                  + jnp.dot(si, tr, preferred_element_type=jnp.float32))
-            # diag backward: nr = pr·ur - pi·ui ; ni = pr·ui + pi·ur
-            dbar_r_out[b + 1] = ur * sbar_r + ui * sbar_i
-            dbar_i_out[b + 1] = -ui * sbar_r + ur * sbar_i
+            # recompute u (cheaper than saving a second state array)
+            ur, ui = _matmul_c(sr, si, tr, ti)
+            # diag backward; phase chain rule:
+            #   dr = cos φ, di = -sin φ  =>  φ̄ = d̄r·(-sin φ) + d̄i·(-cos φ)
+            dbar_r = ur * sbar_r + ui * sbar_i
+            dbar_i = -ui * sbar_r + ur * sbar_i
+            phibar_out[b + 1] = dbar_r * pi - dbar_i * pr
             ubar_r = pr * sbar_r + pi * sbar_i
             ubar_i = -pi * sbar_r + pr * sbar_i
             # matmul backward
@@ -151,67 +135,74 @@ def _bwd_kernel(nb):
             mbar_i_out[b] = (
                 jnp.dot(sr.T, ubar_i, preferred_element_type=jnp.float32)
                 - jnp.dot(si.T, ubar_r, preferred_element_type=jnp.float32))
-            sbar_r = (jnp.dot(ubar_r, tr.T, preferred_element_type=jnp.float32)
-                      + jnp.dot(ubar_i, ti.T,
-                                preferred_element_type=jnp.float32))
-            sbar_i = (jnp.dot(ubar_i, tr.T, preferred_element_type=jnp.float32)
-                      - jnp.dot(ubar_r, ti.T,
-                                preferred_element_type=jnp.float32))
-        # s_1 = D_1 ⊙ s0 with constant s0 = 1/sqrt(D)
-        dbar_r_out[0] = sbar_r
-        dbar_i_out[0] = sbar_i
+            sbar_r, sbar_i = _matmul_c(ubar_r, ubar_i, tr.T, -ti.T)
+        # block 0: s_1 = inv_sqrt · (cos φ_0, -sin φ_0)
+        p0 = phi_ref[0]
+        pr = jnp.cos(p0)
+        pi = -jnp.sin(p0)
+        phibar_out[0] = inv_sqrt * (sbar_r * pi - sbar_i * pr)
     return kernel
 
 
-def _chain_bwd(mt_r, mt_i, dr, di, states_r, states_i, gr, gi):
-    nb, n, d = dr.shape
+@lru_cache(maxsize=64)
+def _make_block_chain(nb, dim, inv_sqrt):
+    """custom-vjp fused chain for a fixed (n_blocks, dim):
+    (mt_r, mt_i, phi) -> (sr, si)."""
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    out_shape = (
-        jax.ShapeDtypeStruct((nb, d, d), jnp.float32),  # mbar_r
-        jax.ShapeDtypeStruct((nb, d, d), jnp.float32),  # mbar_i
-        jax.ShapeDtypeStruct((nb, n, d), jnp.float32),  # dbar_r
-        jax.ShapeDtypeStruct((nb, n, d), jnp.float32),  # dbar_i
-    )
-    mbar_r, mbar_i, dbar_r, dbar_i = pl.pallas_call(
-        _bwd_kernel(nb),
-        out_shape=out_shape,
-        in_specs=[vm] * 8,
-        out_specs=(vm, vm, vm, vm),
-        interpret=_interpret(),
-    )(mt_r, mt_i, dr, di, states_r, states_i, gr, gi)
-    return mbar_r, mbar_i, dbar_r, dbar_i
 
+    def fwd_call(mt_r, mt_i, phi):
+        n = phi.shape[1]
+        out_shape = (
+            jax.ShapeDtypeStruct((n, dim), jnp.float32),      # sr
+            jax.ShapeDtypeStruct((n, dim), jnp.float32),      # si
+            jax.ShapeDtypeStruct((nb, n, dim), jnp.float32),  # states re
+            jax.ShapeDtypeStruct((nb, n, dim), jnp.float32),  # states im
+        )
+        return pl.pallas_call(
+            _fwd_kernel(nb, inv_sqrt),
+            out_shape=out_shape,
+            in_specs=[vm, vm, vm],
+            out_specs=(vm,) * 4,
+            interpret=_interpret(),
+        )(mt_r, mt_i, phi)
 
-# ── custom-vjp chain op ──────────────────────────────────────────────────────
+    def bwd_call(mt_r, mt_i, phi, states_r, states_i, gr, gi):
+        n = phi.shape[1]
+        out_shape = (
+            jax.ShapeDtypeStruct((nb, dim, dim), jnp.float32),  # mbar_r
+            jax.ShapeDtypeStruct((nb, dim, dim), jnp.float32),  # mbar_i
+            jax.ShapeDtypeStruct((nb, n, dim), jnp.float32),    # phibar
+        )
+        return pl.pallas_call(
+            _bwd_kernel(nb, inv_sqrt),
+            out_shape=out_shape,
+            in_specs=[vm] * 7,
+            out_specs=(vm,) * 3,
+            interpret=_interpret(),
+        )(mt_r, mt_i, phi, states_r, states_i, gr, gi)
 
-@jax.custom_vjp
-def block_chain(mt_r, mt_i, dr, di):
-    """(mt_r, mt_i): (B, D, D) pre-transposed block matrices;
-    (dr, di): (B, batch, D) diag phases with the 1/sqrt(D) initial state
-    already folded into index 0."""
-    sr, si, _, _ = _chain_fwd(mt_r, mt_i, dr, di)
-    return sr, si
+    @jax.custom_vjp
+    def chain(mt_r, mt_i, phi):
+        sr, si, _, _ = fwd_call(mt_r, mt_i, phi)
+        return sr, si
 
+    def chain_fwd(mt_r, mt_i, phi):
+        sr, si, states_r, states_i = fwd_call(mt_r, mt_i, phi)
+        return (sr, si), (mt_r, mt_i, phi, states_r, states_i)
 
-def _block_chain_fwd(mt_r, mt_i, dr, di):
-    sr, si, states_r, states_i = _chain_fwd(mt_r, mt_i, dr, di)
-    return (sr, si), (mt_r, mt_i, dr, di, states_r, states_i)
+    def chain_bwd(res, g):
+        mt_r, mt_i, phi, states_r, states_i = res
+        return bwd_call(mt_r, mt_i, phi, states_r, states_i, g[0], g[1])
 
-
-def _block_chain_bwd(res, g):
-    mt_r, mt_i, dr, di, states_r, states_i = res
-    gr, gi = g
-    return _chain_bwd(mt_r, mt_i, dr, di, states_r, states_i, gr, gi)
-
-
-block_chain.defvjp(_block_chain_fwd, _block_chain_bwd)
+    chain.defvjp(chain_fwd, chain_bwd)
+    return chain
 
 
 # ── engine entry points ──────────────────────────────────────────────────────
 
 def _prepare(spec, weights, x):
-    """Shared with the dense path: compile block matrices (Hadamards
-    folded, pre-transposed for row-vector matmuls) and hoisted phases."""
+    """Compile block matrices (Hadamards folded, pre-transposed for
+    row-vector matmuls) and the hoisted raw phases."""
     n = spec.n_qubits
     batch = x.shape[0]
     nb = spec.n_blocks
@@ -228,9 +219,7 @@ def _prepare(spec, weights, x):
     zsgn = jnp.asarray(z_signs(n))
     xb = x.reshape(batch, nb, n).transpose(1, 0, 2)
     phi = 0.5 * (xb @ zsgn.T)                            # (B, batch, D)
-    dr = jnp.cos(phi)
-    di = -jnp.sin(phi)
-    return mt_r, mt_i, dr, di
+    return mt_r, mt_i, phi
 
 
 def forward_pallas(spec, weights, x):
@@ -241,15 +230,11 @@ def forward_pallas(spec, weights, x):
     if _chain_workset_bytes(nb, max(batch, 8), d) > VMEM_BUDGET \
             or not spec.uniform_encode or nb < 2:
         return _hea._forward_dense(spec, weights, x)
-    mt_r, mt_i, dr, di = _prepare(spec, weights, x)
-    dr_p, n_real = _pad_batch(dr.transpose(1, 0, 2))     # pad batch axis
-    di_p, _ = _pad_batch(di.transpose(1, 0, 2))
-    dr_p = dr_p.transpose(1, 0, 2)
-    di_p = di_p.transpose(1, 0, 2)
-    inv_sqrt = 1.0 / np.sqrt(d)
-    dr_p = dr_p.at[0].mul(inv_sqrt)   # fold s0 = H|0> = 1/sqrt(D)
-    di_p = di_p.at[0].mul(inv_sqrt)
-    sr, si = block_chain(mt_r, mt_i, dr_p, di_p)
+    mt_r, mt_i, phi = _prepare(spec, weights, x)
+    phi_p, n_real = _pad_batch(phi.transpose(1, 0, 2))   # pad batch axis
+    phi_p = phi_p.transpose(1, 0, 2)
+    chain = _make_block_chain(nb, d, float(1.0 / np.sqrt(d)))
+    sr, si = chain(mt_r, mt_i, phi_p)
     return sr[:n_real], si[:n_real]
 
 
