@@ -120,8 +120,9 @@ def main():
     t0 = time.time()
     params, opt_state, l0 = one_epoch(params, opt_state, keys[0],
                                       branch, trunk, target)
-    jax.block_until_ready(params)
-    log(f"compile+first epoch: {time.time() - t0:.1f}s (loss {float(l0):.4f})")
+    l0 = float(l0)   # NB: block_until_ready does not reliably block on the
+    #     tunneled TPU backend; materialize a dependent VALUE to sync
+    log(f"compile+first epoch: {time.time() - t0:.1f}s (loss {l0:.4f})")
 
     # timed region: same program shape, zero recompiles
     timed_epochs = min(epochs - 1, 3 if args.quick else 30)
@@ -129,17 +130,17 @@ def main():
     for e in range(1, 1 + timed_epochs):
         params, opt_state, loss = one_epoch(params, opt_state, keys[e],
                                             branch, trunk, target)
-    jax.block_until_ready(params)
+    loss_v = float(loss)   # value sync (see warmup note)
     dt = time.time() - t0
     sps = timed_epochs * n / dt
     log(f"timed: {timed_epochs} epochs x {n} samples in {dt:.2f}s "
-        f"=> {sps:,.0f} samples/sec (loss {float(loss):.4f})")
+        f"=> {sps:,.0f} samples/sec (loss {loss_v:.4f})")
 
     # finish the full regime so the rel-L2 is from a fully trained model
     for e in range(1 + timed_epochs, epochs):
         params, opt_state, loss = one_epoch(params, opt_state, keys[e],
                                             branch, trunk, target)
-    jax.block_until_ready(params)
+    float(loss)
 
     tb = jnp.asarray(data['test_branch_input'])
     tt = jnp.asarray(data['test_trunk_input'])
