@@ -63,6 +63,39 @@ def test_load_model_and_predict():
     assert np.abs(preds).max() < 10  # bounded by ham + bias
 
 
+def test_classical_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """Checkpoints written by the solver for CLASSICAL models load back
+    through the public inference API and give identical predictions."""
+    import jax
+    import jax.numpy as jnp
+    import quanonet_tpu.data.generation as gen
+    monkeypatch.setattr(gen, 'DATA_ROOT', str(tmp_path / 'raw'))
+    monkeypatch.chdir(tmp_path)
+    from quanonet_tpu.infer import load_model, predict
+    from quanonet_tpu.solver import Solver
+
+    np.random.seed(0)
+    cfg = dict(operator='Antideriv', model_type='FNN', net_size=[2, 8],
+               num_train=15, num_test=8, num_points=30, num_points_0=6,
+               train_sample_num=4, test_sample_num=5, batch_size=60,
+               num_epochs=5, learning_rate=0.01, seed=0, prefix='outputs')
+    solver = Solver(cfg)
+    history = solver.train()
+    solver.evaluate(history)
+
+    ckpt = os.path.join(solver.exp_logger.exp_dir, 'best_model.npz')
+    model, params, mcfg = load_model(ckpt, branch_in=6, trunk_in=1)
+    assert mcfg['model_type'] == 'FNN'
+    assert mcfg['net_size'] == [2, 8]
+
+    x = solver.test_inputs[0][:5]
+    want = np.asarray(solver.model.apply(
+        jax.tree_util.tree_map(jnp.asarray, solver.best_params),
+        jnp.asarray(x)))
+    got = predict(model, params, x[:, :6], x[:, 6:], cfg=mcfg)
+    np.testing.assert_allclose(got, want, atol=1e-6)
+
+
 def test_evaluate_metrics():
     y = np.array([[1.0], [2.0], [3.0]])
     m = evaluate(y, y)
