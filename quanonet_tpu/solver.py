@@ -307,16 +307,32 @@ class Solver:
             self.logger.info("Skipping training (if_train=false)")
             return history
 
-        inputs = tuple(jnp.asarray(a) for a in self.train_inputs)
-        outputs = jnp.asarray(self.train_output)
         params = self.params
         opt_state = optimizer.init(params)
         out_norm_sq = float(np.sum(self.train_output.astype(np.float64) ** 2))
-
         per_sample = int(np.prod(self.train_output.shape[1:]))
-        train_epoch = make_train_epoch(self.model.apply, optimizer,
-                                       num_samples, batch_size, per_sample)
-        run_segment = make_run_segment(train_epoch)
+
+        n_devices = int(config.get('num_devices') or 1)
+        if n_devices > 1:
+            # SPMD data parallelism over a 'data' mesh axis: training-set
+            # shards per device, psum'd global loss/grads
+            from quanonet_tpu.parallel import make_mesh
+            from quanonet_tpu.parallel.dp_solver import make_dp_run_segment
+            mesh = make_mesh(n_devices)
+            run_segment, shard_data = make_dp_run_segment(
+                self.model.apply, optimizer, mesh, num_samples, batch_size,
+                per_sample)
+            inputs, outputs = shard_data(self.train_inputs,
+                                         self.train_output)
+            self.logger.info(
+                f"Data-parallel training over {n_devices} devices")
+        else:
+            inputs = tuple(jnp.asarray(a) for a in self.train_inputs)
+            outputs = jnp.asarray(self.train_output)
+            train_epoch = make_train_epoch(self.model.apply, optimizer,
+                                           num_samples, batch_size,
+                                           per_sample)
+            run_segment = make_run_segment(train_epoch)
 
         seed = config.get('seed', 0)
         base_key = jax.random.PRNGKey(seed if seed is not None else 0)
