@@ -116,7 +116,6 @@ def simulate_gate_list(n_wires, ops):
     """Run the exported gate sequence on the gate-by-gate engine.
     Returns <Σ Z_i> (unscaled).  Used to self-verify the export."""
     import jax.numpy as jnp
-    from quanonet_tpu.ops.gates import cnot_ring_permutation  # noqa: F401
     from quanonet_tpu.ops.hea import (
         _apply_ry, _apply_rz, _rx_single, _init_state,
     )

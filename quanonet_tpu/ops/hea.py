@@ -118,33 +118,6 @@ def _init_state(batch, dim):
     return sr, si
 
 
-def _apply_rx_all(sr, si, thetas, n_qubits):
-    """RX(θ_i) on every qubit i (encoding layer).  thetas: (batch, n).
-
-    RX = [[c, -i s], [-i s, c]]:
-      n0 = c·s0 - i·s·s1  ->  (c·s0r + s·s1i,  c·s0i - s·s1r)
-      n1 = -i·s·s0 + c·s1 ->  (s·s0i + c·s1r,  -s·s0r + c·s1i)
-    """
-    batch = sr.shape[0]
-    for q in range(n_qubits):
-        half = thetas[:, q] / 2.0
-        c = jnp.cos(half)[:, None, None]
-        s = jnp.sin(half)[:, None, None]
-        lo = 2 ** q
-        hi = 2 ** (n_qubits - 1 - q)
-        r = sr.reshape(batch, hi, 2, lo)
-        i = si.reshape(batch, hi, 2, lo)
-        r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
-        i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
-        n0r = c * r0 + s * i1
-        n0i = c * i0 - s * r1
-        n1r = s * i0 + c * r1
-        n1i = -s * r0 + c * i1
-        sr = jnp.stack([n0r, n1r], axis=2).reshape(batch, -1)
-        si = jnp.stack([n0i, n1i], axis=2).reshape(batch, -1)
-    return sr, si
-
-
 def _apply_ry(sr, si, q, c, s, n_qubits):
     """RY = [[c, -s], [s, c]] (real) on qubit q; c/s scalars or (batch,)."""
     batch = sr.shape[0]
