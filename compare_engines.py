@@ -156,9 +156,11 @@ def test_golden_npz():
     from quanonet_tpu.checkpoint import load_raw, quantum_params_from_raw
     from quanonet_tpu.models import QuanONet
 
-    path = ('/root/reference/pretrained_weights/Antideriv/'
-            'Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001_1000x100_Seed0/'
-            'best_model.npz')
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'pretrained_weights/Antideriv/'
+        'Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001_1000x100_Seed0/'
+        'best_model.npz')
     if not os.path.exists(path):
         report("golden Antideriv npz", True, "(skipped: not mounted)")
         return True
@@ -188,9 +190,11 @@ def test_golden_ckpt():
     from quanonet_tpu.checkpoint import load_raw, quantum_params_from_raw
     from quanonet_tpu.models import QuanONet
 
-    path = ('/root/reference/pretrained_weights/Advection/'
-            'Advection_QuanONet_Net40-2-20-2_Q5_TF_S0.1_1000x100_Seed0/'
-            'best_model.ckpt')
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        'pretrained_weights/Advection/'
+        'Advection_QuanONet_Net40-2-20-2_Q5_TF_S0.1_1000x100_Seed0/'
+        'best_model.ckpt')
     if not os.path.exists(path):
         report("golden Advection ckpt", True, "(skipped: not mounted)")
         return True

@@ -31,9 +31,11 @@ from quanonet_tpu.ops.hamiltonian import simple_ham_params
 def main():
     p = argparse.ArgumentParser(description="QuanONet hardware deployment")
     p.add_argument('--weight_path', type=str,
-                   default="/root/reference/pretrained_weights/Antideriv/"
-                           "Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001"
-                           "_1000x100_Seed0/best_model.npz")
+                   default=os.path.join(
+                       os.path.dirname(os.path.abspath(__file__)),
+                       "pretrained_weights/Antideriv/"
+                       "Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001"
+                       "_1000x100_Seed0/best_model.npz"))
     p.add_argument('--simulator_only', action='store_true',
                    help="Skip real hardware even if a token is set.")
     p.add_argument('--input_func', type=str, choices=['cos', 'linear'],

@@ -16,7 +16,8 @@ from quanonet_tpu.checkpoint import (
     save_npz, unflatten_tree, flatten_tree,
 )
 
-REF_WEIGHTS = '/root/reference/pretrained_weights'
+REF_WEIGHTS = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))), 'pretrained_weights')
 ANTIDERIV_NPZ = os.path.join(
     REF_WEIGHTS, 'Antideriv',
     'Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001_1000x100_Seed0',

@@ -10,9 +10,11 @@ import pytest
 from quanonet_tpu.infer import _parse_path, _resolve_config, evaluate
 from quanonet_tpu.logger import get_experiment_id
 
-REF = ('/root/reference/pretrained_weights/Antideriv/'
-       'Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001_1000x100_Seed0/'
-       'best_model.npz')
+REF = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'pretrained_weights/Antideriv/'
+    'Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001_1000x100_Seed0/'
+    'best_model.npz')
 needs_ref = pytest.mark.skipif(not os.path.exists(REF),
                                reason="reference checkpoints not mounted")
 
