@@ -154,8 +154,9 @@ def train_multi_seed(config):
                                      best_params)
         preds = []
         nt = test_output.shape[0]
-        for st in range(0, nt, batch_size):
-            batch = tuple(a[st:st + batch_size] for a in test_in_dev)
+        eval_bs = max(batch_size, 4096)   # eval is forward-only; big chunks
+        for st in range(0, nt, eval_bs):
+            batch = tuple(a[st:st + eval_bs] for a in test_in_dev)
             preds.append(np.asarray(fwd(p_s, *batch)))
         y_pred = np.concatenate(preds, axis=0)
         m = compute_metrics(test_output, y_pred)

@@ -446,7 +446,9 @@ class Solver:
             params = self.params
 
         params = jax.tree_util.tree_map(jnp.asarray, params)
-        batch_size = self.config.get('batch_size', 100)
+        # eval is a pure forward pass; use large chunks (small chunks mean
+        # thousands of dispatches over the TPU tunnel)
+        batch_size = max(self.config.get('batch_size', 100), 4096)
         n = self.test_output.shape[0]
         fwd = jax.jit(lambda *inp: self.model.apply(params, *inp))
         preds = []
