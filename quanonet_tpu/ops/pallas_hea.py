@@ -50,32 +50,34 @@ def _pad_batch(a, mult=8):
 
 
 def _chain_workset_bytes(B, N, D):
-    # block mats (2), phases (1), saved states (2), live state + trig (~4)
-    return 4 * (2 * B * D * D + B * N * D + 2 * B * N * D + 4 * N * D)
+    # block mats (2), phases (1), saved states (2) + saved u (2),
+    # live state + trig (~4)
+    return 4 * (2 * B * D * D + B * N * D + 4 * B * N * D + 4 * N * D)
 
 
-def _matmul_c(sr, si, tr, ti):
-    """(sr + i si) @ (tr + i ti): 4 MXU matmuls."""
-    ur = (jnp.dot(sr, tr, preferred_element_type=jnp.float32)
-          - jnp.dot(si, ti, preferred_element_type=jnp.float32))
-    ui = (jnp.dot(sr, ti, preferred_element_type=jnp.float32)
-          + jnp.dot(si, tr, preferred_element_type=jnp.float32))
-    return ur, ui
+def _kara(ar, ai, br, bi):
+    """(ar + i ai) @ (br + i bi) via Karatsuba: 3 MXU matmuls."""
+    t1 = jnp.dot(ar, br, preferred_element_type=jnp.float32)
+    t2 = jnp.dot(ai, bi, preferred_element_type=jnp.float32)
+    t3 = jnp.dot(ar + ai, br + bi, preferred_element_type=jnp.float32)
+    return t1 - t2, t3 - t1 - t2
 
 
 # ── kernels ──────────────────────────────────────────────────────────────────
 
 def _fwd_kernel(nb, inv_sqrt):
     def kernel(mtr_ref, mti_ref, phi_ref,
-               sr_out, si_out, str_out, sti_out):
+               sr_out, si_out, str_out, sti_out, ur_out, ui_out):
         p0 = phi_ref[0]
         sr = jnp.cos(p0) * inv_sqrt          # D(x_1) · H|0…0⟩
         si = -jnp.sin(p0) * inv_sqrt
         for b in range(nb - 1):
-            # save block-input state for the backward sweep
+            # save block-input state AND post-matmul state for the backward
             str_out[b] = sr
             sti_out[b] = si
-            ur, ui = _matmul_c(sr, si, mtr_ref[b], mti_ref[b])
+            ur, ui = _kara(sr, si, mtr_ref[b], mti_ref[b])
+            ur_out[b] = ur
+            ui_out[b] = ui
             phi = phi_ref[b + 1]
             pr = jnp.cos(phi)
             pi = -jnp.sin(phi)
@@ -83,32 +85,27 @@ def _fwd_kernel(nb, inv_sqrt):
             si = pr * ui + pi * ur
         str_out[nb - 1] = sr
         sti_out[nb - 1] = si
-        sr_out[:], si_out[:] = _matmul_c(sr, si, mtr_ref[nb - 1],
-                                         mti_ref[nb - 1])
+        sr_out[:], si_out[:] = _kara(sr, si, mtr_ref[nb - 1],
+                                     mti_ref[nb - 1])
     return kernel
 
 
 def _bwd_kernel(nb, inv_sqrt):
     def kernel(mtr_ref, mti_ref, phi_ref, str_ref, sti_ref,
-               gr_ref, gi_ref,
+               ur_ref, ui_ref, gr_ref, gi_ref,
                mbar_r_out, mbar_i_out, phibar_out):
         gr = gr_ref[:]
         gi = gi_ref[:]
         sr = str_ref[nb - 1]
         si = sti_ref[nb - 1]
-        # grads w.r.t. mt_{B-1} and the state feeding the final matmul
-        mbar_r_out[nb - 1] = (
-            jnp.dot(sr.T, gr, preferred_element_type=jnp.float32)
-            + jnp.dot(si.T, gi, preferred_element_type=jnp.float32))
-        mbar_i_out[nb - 1] = (
-            jnp.dot(sr.T, gi, preferred_element_type=jnp.float32)
-            - jnp.dot(si.T, gr, preferred_element_type=jnp.float32))
+        # grads w.r.t. mt_{B-1}: m̄ = conj(s)^T ḡ  (Karatsuba, 3 matmuls)
+        mr, mi = _kara(sr.T, -si.T, gr, gi)
+        mbar_r_out[nb - 1] = mr
+        mbar_i_out[nb - 1] = mi
+        # s̄ = ḡ M^†  (Karatsuba)
         tr = mtr_ref[nb - 1]
         ti = mti_ref[nb - 1]
-        sbar_r = (jnp.dot(gr, tr.T, preferred_element_type=jnp.float32)
-                  + jnp.dot(gi, ti.T, preferred_element_type=jnp.float32))
-        sbar_i = (jnp.dot(gi, tr.T, preferred_element_type=jnp.float32)
-                  - jnp.dot(gr, ti.T, preferred_element_type=jnp.float32))
+        sbar_r, sbar_i = _kara(gr, gi, tr.T, -ti.T)
 
         for b in range(nb - 2, -1, -1):
             # forward was: u = s_b M_b ; s_{b+1} = D_{b+1} ⊙ u
@@ -117,10 +114,8 @@ def _bwd_kernel(nb, inv_sqrt):
             pi = -jnp.sin(phi)
             sr = str_ref[b]
             si = sti_ref[b]
-            tr = mtr_ref[b]
-            ti = mti_ref[b]
-            # recompute u (cheaper than saving a second state array)
-            ur, ui = _matmul_c(sr, si, tr, ti)
+            ur = ur_ref[b]
+            ui = ui_ref[b]
             # diag backward; phase chain rule:
             #   dr = cos φ, di = -sin φ  =>  φ̄ = d̄r·(-sin φ) + d̄i·(-cos φ)
             dbar_r = ur * sbar_r + ui * sbar_i
@@ -128,14 +123,13 @@ def _bwd_kernel(nb, inv_sqrt):
             phibar_out[b + 1] = dbar_r * pi - dbar_i * pr
             ubar_r = pr * sbar_r + pi * sbar_i
             ubar_i = -pi * sbar_r + pr * sbar_i
-            # matmul backward
-            mbar_r_out[b] = (
-                jnp.dot(sr.T, ubar_r, preferred_element_type=jnp.float32)
-                + jnp.dot(si.T, ubar_i, preferred_element_type=jnp.float32))
-            mbar_i_out[b] = (
-                jnp.dot(sr.T, ubar_i, preferred_element_type=jnp.float32)
-                - jnp.dot(si.T, ubar_r, preferred_element_type=jnp.float32))
-            sbar_r, sbar_i = _matmul_c(ubar_r, ubar_i, tr.T, -ti.T)
+            # matmul backward (Karatsuba each: 3 + 3 matmuls)
+            mr, mi = _kara(sr.T, -si.T, ubar_r, ubar_i)
+            mbar_r_out[b] = mr
+            mbar_i_out[b] = mi
+            tr = mtr_ref[b]
+            ti = mti_ref[b]
+            sbar_r, sbar_i = _kara(ubar_r, ubar_i, tr.T, -ti.T)
         # block 0: s_1 = inv_sqrt · (cos φ_0, -sin φ_0)
         p0 = phi_ref[0]
         pr = jnp.cos(p0)
@@ -157,16 +151,18 @@ def _make_block_chain(nb, dim, inv_sqrt):
             jax.ShapeDtypeStruct((n, dim), jnp.float32),      # si
             jax.ShapeDtypeStruct((nb, n, dim), jnp.float32),  # states re
             jax.ShapeDtypeStruct((nb, n, dim), jnp.float32),  # states im
+            jax.ShapeDtypeStruct((max(nb - 1, 1), n, dim), jnp.float32),
+            jax.ShapeDtypeStruct((max(nb - 1, 1), n, dim), jnp.float32),
         )
         return pl.pallas_call(
             _fwd_kernel(nb, inv_sqrt),
             out_shape=out_shape,
             in_specs=[vm, vm, vm],
-            out_specs=(vm,) * 4,
+            out_specs=(vm,) * 6,
             interpret=_interpret(),
         )(mt_r, mt_i, phi)
 
-    def bwd_call(mt_r, mt_i, phi, states_r, states_i, gr, gi):
+    def bwd_call(mt_r, mt_i, phi, states_r, states_i, u_r, u_i, gr, gi):
         n = phi.shape[1]
         out_shape = (
             jax.ShapeDtypeStruct((nb, dim, dim), jnp.float32),  # mbar_r
@@ -176,23 +172,24 @@ def _make_block_chain(nb, dim, inv_sqrt):
         return pl.pallas_call(
             _bwd_kernel(nb, inv_sqrt),
             out_shape=out_shape,
-            in_specs=[vm] * 7,
+            in_specs=[vm] * 9,
             out_specs=(vm,) * 3,
             interpret=_interpret(),
-        )(mt_r, mt_i, phi, states_r, states_i, gr, gi)
+        )(mt_r, mt_i, phi, states_r, states_i, u_r, u_i, gr, gi)
 
     @jax.custom_vjp
     def chain(mt_r, mt_i, phi):
-        sr, si, _, _ = fwd_call(mt_r, mt_i, phi)
+        sr, si, _, _, _, _ = fwd_call(mt_r, mt_i, phi)
         return sr, si
 
     def chain_fwd(mt_r, mt_i, phi):
-        sr, si, states_r, states_i = fwd_call(mt_r, mt_i, phi)
-        return (sr, si), (mt_r, mt_i, phi, states_r, states_i)
+        sr, si, states_r, states_i, u_r, u_i = fwd_call(mt_r, mt_i, phi)
+        return (sr, si), (mt_r, mt_i, phi, states_r, states_i, u_r, u_i)
 
     def chain_bwd(res, g):
-        mt_r, mt_i, phi, states_r, states_i = res
-        return bwd_call(mt_r, mt_i, phi, states_r, states_i, g[0], g[1])
+        mt_r, mt_i, phi, states_r, states_i, u_r, u_i = res
+        return bwd_call(mt_r, mt_i, phi, states_r, states_i, u_r, u_i,
+                        g[0], g[1])
 
     chain.defvjp(chain_fwd, chain_bwd)
     return chain
