@@ -32,6 +32,36 @@ from quanonet_tpu.solver import (
 )
 
 
+def _guard_vmapped_engine(config, n_seeds):
+    """Under vmap the Pallas chain's whole working set is batched into
+    VMEM (n_seeds x the single-seed footprint), which OOMs for the
+    flagship nets — fall back to the dense XLA engine when the vmapped
+    footprint exceeds the budget."""
+    if config['model_type'] not in QUANTUM_MODELS:
+        return config
+    from quanonet_tpu.ops.hea import (
+        heaqnn_spec, quanonet_spec, resolve_engine,
+    )
+    from quanonet_tpu.ops.pallas_hea import VMEM_BUDGET, _chain_workset_bytes
+
+    engine = resolve_engine(config.get('engine', 'auto'),
+                            config['num_qubits'])
+    if engine != 'pallas':
+        return config
+    net_size = tuple(config.get('net_size') or (20, 2, 10, 2))
+    spec = (quanonet_spec(config['num_qubits'], net_size)
+            if config['model_type'] == 'QuanONet'
+            else heaqnn_spec(config['num_qubits'], net_size))
+    batch = config.get('batch_size', 100)
+    if n_seeds * _chain_workset_bytes(spec.n_blocks, max(batch, 8),
+                                      spec.dim) > VMEM_BUDGET:
+        config = dict(config)
+        config['engine'] = 'dense'
+        print(f"[multi-seed] pallas working set x{n_seeds} seeds exceeds "
+              f"VMEM; using the dense engine")
+    return config
+
+
 def train_multi_seed(config):
     """Train len(config['multi_seed']) seeds as one vmapped program.
     Returns {seed: metrics}."""
@@ -55,6 +85,7 @@ def train_multi_seed(config):
     dm = DataManager(config, data_dir=os.path.join(prefix, "..", "data"))
     data = dm.get_data()
 
+    config = _guard_vmapped_engine(config, n_seeds)
     model, _mode = build_model(config, data)
     model_type = config['model_type']
     if model_type in ('HEAQNN', 'FNN', 'FNO'):
