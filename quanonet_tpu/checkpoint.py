@@ -307,3 +307,38 @@ def unflatten_tree(raw: dict) -> dict:
             node = node.setdefault(p, {})
         node[parts[-1]] = np.asarray(val)
     return {'params': tree}
+
+
+if __name__ == '__main__':
+    # Self-test mirroring the reference's weight-transfer check
+    # (utils/weight_transfer.py:143-178): load the shipped Antideriv
+    # checkpoint, run a smooth input, verify predictions track the true
+    # antiderivative within the documented 0.3 max-abs bound.
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.models import QuanONet
+
+    npz = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'pretrained_weights', 'Antideriv',
+        'Antideriv_QuanONet_Net5-1-5-1_Q2_TF_S0.001_1000x100_Seed0',
+        'best_model.npz')
+    print(f"Loading {npz}")
+    raw = load_raw(npz)
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        quantum_params_from_raw(raw, 'QuanONet', (5, 1, 5, 1), 2, True))
+    model = QuanONet(num_qubits=2, branch_input_size=10, trunk_input_size=1,
+                     net_size=(5, 1, 5, 1), scale_coeff=0.001,
+                     if_trainable_freq=True)
+    # u0 = cos(pi x): antiderivative sin(pi x)/pi, y(0)=0
+    xs = np.linspace(0, 1, 8, dtype=np.float32)
+    b = jnp.asarray(np.tile(np.cos(np.pi * np.linspace(0, 1, 10)),
+                            (8, 1)).astype(np.float32))
+    t = jnp.asarray(xs[:, None])
+    pred = np.asarray(model.apply(params, b, t))[:, 0]
+    true = np.sin(np.pi * xs) / np.pi
+    err = np.abs(pred - true).max()
+    print(f"predictions: {pred[:4].round(4)}")
+    print(f"true values: {true[:4].round(4)}")
+    print(f"max abs error: {err:.6f}")
+    print("Checkpoint self-test OK" if err < 0.3 else "Check failed")
