@@ -73,9 +73,28 @@ def test_rdiffusion_matches_host_stencil():
     np.testing.assert_allclose(dev_u, host_u, atol=1e-4)
 
 
+def test_darcy_cg_matches_host_sparse_solve():
+    """Device CG solve vs the host scipy spsolve on the same boundary
+    field (incl. the corner-precedence convention)."""
+    from quanonet_tpu.data.device_gen import solve_darcy_batch
+    np.random.seed(7)
+    num_cal = 24
+    _, u0 = host_gen.generate_random_gaussian_field(4 * num_cal,
+                                                    length_scale=1.0)
+    host_u, _ = host_gen.solve_darcy_pde(num_cal, u0_cal=u0)
+    dev_u = np.asarray(solve_darcy_batch(
+        np.asarray(u0, np.float32)[None]))[0]
+    assert dev_u.shape == host_u.shape
+    np.testing.assert_allclose(dev_u, host_u, atol=2e-3)
+
+
 def test_pde_batch_shapes():
     key = jax.random.PRNGKey(2)
     u0, u = generate_pde_batch(key, 'Advection', 3, 32, 16, num_cal=64)
     assert u0.shape == (3, 16)
     assert u.shape == (3, 32, 32)
     assert np.isfinite(np.asarray(u)).all()
+    u0d, ud = generate_pde_batch(key, 'Darcy', 2, 20, 12, num_cal=20)
+    assert u0d.shape == (2, 12)
+    assert ud.shape == (2, 20, 20)
+    assert np.isfinite(np.asarray(ud)).all()
