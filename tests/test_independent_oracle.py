@@ -99,3 +99,29 @@ def test_engine_matches_independent_numpy(n, net):
                                          engine=engine))
         np.testing.assert_allclose(got, want, atol=2e-5,
                                    err_msg=f"engine={engine}")
+
+
+def test_xy_observables_match_independent_numpy():
+    Y = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    n, net = 3, (2, 1, 2, 1)
+    rng = np.random.RandomState(7)
+    spec = quanonet_spec(n, net)
+    weights = rng.uniform(-np.pi, np.pi,
+                          spec.weight_shape()).astype(np.float32)
+    x = rng.uniform(-2, 2, (2, spec.total_encode)).astype(np.float32)
+
+    for pauli, mat in (('X', X), ('Y', Y)):
+        want = []
+        for b in range(2):
+            psi = numpy_quanonet(n, net, weights.astype(np.float64),
+                                 x[b].astype(np.float64))
+            total = sum(np.real(np.conj(psi) @ (op_on(mat, q, n) @ psi))
+                        for q in range(n))
+            want.append(1.5 + 0.7 * total)
+        want = np.asarray(want)[:, None]
+        for engine in ('dense', 'gates'):
+            got = np.asarray(hea_expectation(spec, weights, x, pauli=pauli,
+                                             offset=1.5, coeff=0.7,
+                                             engine=engine))
+            np.testing.assert_allclose(got, want, atol=2e-5,
+                                       err_msg=f"{pauli}/{engine}")
