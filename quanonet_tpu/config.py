@@ -95,12 +95,17 @@ def get_base_parser():
 
     # TPU-native extensions (absent in the reference)
     parser.add_argument('--engine', type=str, default=None,
-                        choices=['auto', 'dense', 'gates', 'pallas'],
+                        choices=['auto', 'dense', 'gates', 'fused', 'pallas'],
                         help='Gate-application strategy for the statevector engine')
     parser.add_argument('--num_devices', type=int, default=None,
                         help='Devices for the data-parallel mesh (default: all)')
     parser.add_argument('--multi_seed', type=int, nargs='+', default=None,
                         help='Train several seeds as one vmapped batch')
+    parser.add_argument('--multi_seed_fresh_data', type=str, default=None,
+                        help='true: regenerate the dataset per seed (own '
+                             'train/test split + point subsample) instead '
+                             'of sharing one dataset across the vmapped '
+                             'seeds')
     parser.add_argument('--profile', type=str, default=None,
                         help='Write a jax.profiler trace of one training '
                              'segment to this directory')

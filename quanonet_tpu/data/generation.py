@@ -231,8 +231,12 @@ def solve_darcy_pde(num_cal, length_scale=1.0, K=0.1, f=-1.0, u0_cal=None):
         offy[sel] = 0.0
         rhs[sel] = vals[coord[mask]]
 
-    A = diags([main, offx[:-1], offx[1:], offx[-1], offx[:1],
-               offy[:N - ny], offy[ny:], offy[N - ny:], offy[:ny]],
+    # With idx = ii*ny + jj, the ±1 neighbours step in jj (the y direction)
+    # and the ±ny neighbours step in ii (x), so the ±1 diagonals carry
+    # 1/dy² and the ±ny diagonals 1/dx².  (dx==dy here since nx==ny, but
+    # the placement must stay correct if the grid ever becomes anisotropic.)
+    A = diags([main, offy[:-1], offy[1:], offy[-1], offy[:1],
+               offx[:N - ny], offx[ny:], offx[N - ny:], offx[:ny]],
               [0, 1, -1, -N + 1, N - 1, ny, -ny, -N + ny, N - ny],
               shape=(N, N))
     u_cal = spsolve(A.tocsr(), rhs).reshape((nx, ny))
@@ -354,6 +358,13 @@ def generate_pde_operator_data(operator_type, num_train, num_test,
                 if input_sampler is None and (
                         (i + 1) % save_interval == 0 or i == total_needed - 1):
                     np.savez(data_path, u_cals=u_cals, u0_cals=u0_cals)
+
+    if len(u_cals) < num_train + num_test:
+        raise RuntimeError(
+            f"PDE generation produced only {len(u_cals)} valid samples "
+            f"(NaN/solver failures skipped) but num_train+num_test="
+            f"{num_train + num_test}. Delete the raw cache and regenerate, "
+            f"or lower num_train/num_test.")
 
     x_target = np.linspace(0, 1, num_points)
     t_target = np.linspace(0, 1, num_points)

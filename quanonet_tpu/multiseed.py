@@ -6,10 +6,15 @@ Here the seed axis is a vmapped leading dimension of the parameter and
 optimizer pytrees, so S seeds train simultaneously in one program; on a
 device mesh the seed axis shards over 'seed' (quanonet_tpu/parallel).
 
-Deliberate semantic delta from the reference (documented): all seeds
-share ONE dataset (generated with the first seed); seeds differentiate
-parameter init and batch shuffling.  The reference regenerates data per
-seed, which cannot be expressed as a vmap without S copies of the data.
+Dataset semantics: by default all seeds share ONE dataset (generated
+with the first seed); seeds differentiate parameter init and batch
+shuffling.  This matches the reference in the common case — its
+DataManager cache filename carries no seed (reference
+data_utils/data_manager.py:108-121), so its per-seed processes all load
+the first process's cached dataset.  For wider variance estimates,
+``multi_seed_fresh_data=true`` regenerates the dataset per seed
+(bypassing the cache) and vmaps the data axis alongside the parameter
+axis, which is strictly broader than what the reference measures.
 
 Artifacts: per-seed experiment directories with the standard contract
 (metric.json, best_model.ckpt/.npz), exactly as if S separate runs had
@@ -70,36 +75,70 @@ def train_multi_seed(config):
     n_seeds = len(seeds)
     prefix = config.get('prefix') or "outputs"
 
-    # per-seed experiment dirs (resume-skip when ALL are complete)
+    # per-seed experiment dirs; completed seeds are dropped from the
+    # vmapped batch (per-seed resume, matching the reference's
+    # per-process skip) instead of retraining and overwriting them
     loggers = {}
     for s in seeds:
         cfg_s = dict(config)
         cfg_s['seed'] = s
         cfg_s.pop('multi_seed', None)
         loggers[s] = ExperimentLogger(cfg_s, base_output_dir=prefix)
-    if all(lg.is_completed() for lg in loggers.values()):
+    done_seeds = [s for s in seeds if loggers[s].is_completed()]
+    for s in done_seeds:
+        loggers[s].close()
+    if len(done_seeds) == len(seeds):
         print("⏩ [Resume] All seeds already completed. Skipping.")
         return {s: None for s in seeds}
+    if done_seeds:
+        print(f"⏩ [Resume] Seeds {done_seeds} already completed; "
+              f"training the rest.")
+    seeds = [s for s in seeds if s not in done_seeds]
+    n_seeds = len(seeds)
 
-    set_random_seed(seeds[0])
+    model_type = config['model_type']
+
+    def _split_inputs(data):
+        if model_type in ('HEAQNN', 'FNN', 'FNO'):
+            return ((data['train_input'].astype(np.float32),),
+                    (data['test_input'].astype(np.float32),))
+        return ((data['train_branch_input'].astype(np.float32),
+                 data['train_trunk_input'].astype(np.float32)),
+                (data['test_branch_input'].astype(np.float32),
+                 data['test_trunk_input'].astype(np.float32)))
+
     dm = DataManager(config, data_dir=os.path.join(prefix, "..", "data"))
-    data = dm.get_data()
+    fresh_data = parse_bool(config.get('multi_seed_fresh_data', False))
+    if fresh_data:
+        # Per-seed dataset regeneration: each seed gets its own train/test
+        # split and point subsample (the expensive raw GRF/PDE solves stay
+        # shared through the raw cache).  The data arrays gain a leading
+        # seed axis and are vmapped alongside the parameter axis.
+        per_seed_data = []
+        for s in seeds:
+            set_random_seed(s)
+            per_seed_data.append(dm._generate_and_process())
+        data = per_seed_data[0]
+        tr_list, te_list = zip(*(_split_inputs(d) for d in per_seed_data))
+        train_inputs = tuple(np.stack(cols) for cols in zip(*tr_list))
+        test_inputs = tuple(np.stack(cols) for cols in zip(*te_list))
+        train_output = np.stack(
+            [d['train_output'].astype(np.float32) for d in per_seed_data])
+        test_output = np.stack(
+            [d['test_output'].astype(np.float32) for d in per_seed_data])
+        data_ax = 0
+    else:
+        set_random_seed(seeds[0])
+        data = dm.get_data()
+        train_inputs, test_inputs = _split_inputs(data)
+        train_output = data['train_output'].astype(np.float32)
+        test_output = data['test_output'].astype(np.float32)
+        data_ax = None
 
     config = _guard_vmapped_engine(config, n_seeds)
     model, _mode = build_model(config, data)
-    model_type = config['model_type']
-    if model_type in ('HEAQNN', 'FNN', 'FNO'):
-        train_inputs = (data['train_input'].astype(np.float32),)
-        test_inputs = (data['test_input'].astype(np.float32),)
-    else:
-        train_inputs = (data['train_branch_input'].astype(np.float32),
-                        data['train_trunk_input'].astype(np.float32))
-        test_inputs = (data['test_branch_input'].astype(np.float32),
-                       data['test_trunk_input'].astype(np.float32))
-    train_output = data['train_output'].astype(np.float32)
-    test_output = data['test_output'].astype(np.float32)
 
-    num_samples = train_output.shape[0]
+    num_samples = train_output.shape[1 if fresh_data else 0]
     batch_size = min(config.get('batch_size', 100), num_samples)
     num_batches = max(1, int(np.ceil(num_samples / batch_size)))
     epochs = config['num_epochs']
@@ -109,7 +148,8 @@ def train_multi_seed(config):
     train_epoch = make_train_epoch(model.apply, optimizer, num_samples,
                                    batch_size, per_sample)
 
-    dummies = tuple(jnp.asarray(a[:1]) for a in train_inputs)
+    dummies = tuple(jnp.asarray(a[0, :1] if fresh_data else a[:1])
+                    for a in train_inputs)
     init_keys = jnp.stack([jax.random.PRNGKey(s) for s in seeds])
     params = jax.vmap(lambda k: model.init(k, *dummies))(init_keys)
     opt_state = jax.vmap(optimizer.init)(params)
@@ -128,7 +168,7 @@ def train_multi_seed(config):
         def epoch_step(carry, key_s):
             params, opt_state, best_loss, best_params = carry
             (params, opt_state), (avg_loss, sse) = jax.vmap(
-                seed_epoch, in_axes=((0, 0), 0, None, None))(
+                seed_epoch, in_axes=((0, 0), 0, data_ax, data_ax))(
                 (params, opt_state), key_s, inputs, outputs)
             improved = avg_loss < best_loss                    # (S,)
             best_loss = jnp.where(improved, avg_loss, best_loss)
@@ -151,7 +191,12 @@ def train_multi_seed(config):
     best_loss = jnp.full((n_seeds,), np.inf, jnp.float32)
     best_params = params
     histories = {s: {'loss_train': [], 'loss_test': []} for s in seeds}
-    out_norm = float(np.linalg.norm(train_output.astype(np.float64)))
+    if fresh_data:
+        out_norms = [float(np.linalg.norm(train_output[i].astype(np.float64)))
+                     for i in range(n_seeds)]
+    else:
+        out_norms = [float(np.linalg.norm(
+            train_output.astype(np.float64)))] * n_seeds
 
     done = 0
     while done < epochs:
@@ -168,7 +213,8 @@ def train_multi_seed(config):
                                       done + e)
                 loggers[s].log_metric(
                     "Error/rel_l2",
-                    float(np.sqrt(max(sse[e, si], 0.0)) / (out_norm + 1e-8)),
+                    float(np.sqrt(max(sse[e, si], 0.0))
+                          / (out_norms[si] + 1e-8)),
                     done + e)
         done += n
         if (done % 10) < seg:
@@ -179,19 +225,21 @@ def train_multi_seed(config):
     best_params = jax.device_get(best_params)
     metrics_by_seed = {}
     fwd = jax.jit(lambda p, *inp: model.apply(p, *inp))
-    test_in_dev = tuple(jnp.asarray(a) for a in test_inputs)
     for si, s in enumerate(seeds):
+        test_in_s = tuple((a[si] if fresh_data else a) for a in test_inputs)
+        test_out_s = test_output[si] if fresh_data else test_output
+        test_in_dev = tuple(jnp.asarray(a) for a in test_in_s)
         p_s = jax.tree_util.tree_map(lambda a: jnp.asarray(a[si]),
                                      best_params)
         preds = []
-        nt = test_output.shape[0]
+        nt = test_out_s.shape[0]
         eval_bs = max(batch_size, 4096)   # eval is forward-only; big chunks
         for st in range(0, nt, eval_bs):
             batch = tuple(a[st:st + eval_bs] for a in test_in_dev)
             preds.append(np.asarray(fwd(p_s, *batch)))
         y_pred = np.concatenate(preds, axis=0)
-        m = compute_metrics(test_output, y_pred)
-        m['rel_l2'] = rel_l2(test_output, y_pred)
+        m = compute_metrics(test_out_s, y_pred)
+        m['rel_l2'] = rel_l2(test_out_s, y_pred)
         metrics_by_seed[s] = m
 
         if config.get('if_save', True):
@@ -207,4 +255,6 @@ def train_multi_seed(config):
         loggers[s].close()
         print(f"Seed {s}: rel_l2={metrics_by_seed[s]['rel_l2']:.4f} "
               f"MSE={metrics_by_seed[s]['MSE']:.6f}")
+    for s in done_seeds:
+        metrics_by_seed[s] = None   # resumed, left untouched
     return metrics_by_seed

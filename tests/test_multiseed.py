@@ -66,3 +66,45 @@ def test_multiseed_resume_skip(tmp_path, capsys):
     train_multi_seed(dict(cfg))
     out = train_multi_seed(dict(cfg))
     assert out == {0: None, 1: None}  # all seeds resume-skipped
+
+
+def test_multiseed_partial_resume(tmp_path):
+    """A partially completed multi-seed run retrains ONLY the missing
+    seeds; completed seeds' artifacts are left untouched."""
+    cfg = dict(operator='Antideriv', model_type='QuanONet',
+               num_train=12, num_test=6, num_points=30, num_points_0=6,
+               train_sample_num=4, test_sample_num=5,
+               batch_size=48, num_epochs=4, learning_rate=0.01,
+               num_qubits=2, net_size=[1, 1, 1, 1],
+               scale_coeff=0.01, if_trainable_freq='true',
+               multi_seed=[0, 1], prefix='outputs')
+    train_multi_seed(dict(cfg))
+    base = 'outputs/Antideriv/Antideriv_QuanONet_Net1-1-1-1_Q2_TF_S0.01_12x30'
+    # wipe seed 1's completion marker; keep seed 0 finished
+    os.remove(f'{base}_Seed1/metric.json')
+    w0_before = np.load(f'{base}_Seed0/best_model.npz')['QuanONet.weight']
+    mtime0 = os.path.getmtime(f'{base}_Seed0/best_model.npz')
+    out = train_multi_seed(dict(cfg))
+    assert out[0] is None            # seed 0 resumed (skipped)
+    assert out[1] is not None        # seed 1 retrained
+    assert os.path.exists(f'{base}_Seed1/metric.json')
+    assert os.path.getmtime(f'{base}_Seed0/best_model.npz') == mtime0
+    w0_after = np.load(f'{base}_Seed0/best_model.npz')['QuanONet.weight']
+    np.testing.assert_array_equal(w0_before, w0_after)
+
+
+def test_multiseed_fresh_data(tmp_path):
+    """multi_seed_fresh_data=true gives each seed its own train/test
+    split; runs end-to-end and produces distinct finite metrics."""
+    cfg = dict(operator='Antideriv', model_type='QuanONet',
+               num_train=16, num_test=8, num_points=30, num_points_0=6,
+               train_sample_num=4, test_sample_num=5,
+               batch_size=32, num_epochs=6, learning_rate=0.01,
+               num_qubits=2, net_size=[1, 1, 1, 1],
+               scale_coeff=0.01, if_trainable_freq='true',
+               multi_seed=[0, 1], multi_seed_fresh_data='true',
+               prefix='outputs')
+    metrics = train_multi_seed(cfg)
+    rels = [metrics[s]['rel_l2'] for s in (0, 1)]
+    assert all(np.isfinite(r) for r in rels)
+    assert rels[0] != rels[1]
