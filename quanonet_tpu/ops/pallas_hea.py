@@ -33,12 +33,47 @@ from jax.experimental.pallas import tpu as pltpu
 from quanonet_tpu.ops import hea as _hea
 from quanonet_tpu.ops.gates import hadamard_kron, z_signs
 
-VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom under ~16 MB/core
+# Mosaic's default scoped-VMEM limit is 16 MiB; a v5e core has far more.
+# We request a higher per-kernel limit and size the fallback budget to it.
+VMEM_LIMIT = 100 * 1024 * 1024
+VMEM_BUDGET = 88 * 1024 * 1024  # working-set ceiling before dense fallback
 
 
 def _interpret() -> bool:
     """Pallas TPU kernels run interpreted on CPU (test environments)."""
     return jax.default_backend() != 'tpu'
+
+
+DEFAULT_SCOPED_LIMIT = 16 * 1024 * 1024
+
+
+def _tile_dims(N, D):
+    """Mosaic (8, 128) tile padding of an (N, D) float32 array."""
+    return -(-N // 8) * 8, -(-D // 128) * 128
+
+
+def _maybe_params(stack_bytes):
+    """Raise the scoped-VMEM limit ONLY when this kernel's stack needs it.
+    An unconditional raise costs ~8% on the flagship shape (measured
+    724K -> 667K samples/s), so shapes that fit the 16 MiB default keep
+    param-free codegen."""
+    if stack_bytes > int(0.85 * DEFAULT_SCOPED_LIMIT):
+        return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+    return None
+
+
+def _fwd_stack_bytes(B, N, D):
+    """Scoped-stack (output) bytes of the forward kernel: sr/si (N,D)·2,
+    saved states (B,N,D)·2, saved u (B-1,N,D)·2, ~10% temporaries."""
+    n8, dl = _tile_dims(N, D)
+    return int(1.1 * 4 * (2 + 2 * B + 2 * max(B - 1, 1)) * n8 * dl)
+
+
+def _bwd_stack_bytes(B, N, D):
+    """Backward outputs: mbar (B,D,D)·2 + phibar (B,N,D), ~10% slack."""
+    n8, dl = _tile_dims(N, D)
+    ds = -(-D // 8) * 8
+    return int(1.1 * 4 * (2 * B * ds * dl + B * n8 * dl))
 
 
 def _pad_batch(a, mult=8):
@@ -50,9 +85,19 @@ def _pad_batch(a, mult=8):
 
 
 def _chain_workset_bytes(B, N, D):
-    # block mats (2), phases (1), saved states (2) + saved u (2),
-    # live state + trig (~4)
-    return 4 * (2 * B * D * D + B * N * D + 4 * B * N * D + 4 * N * D)
+    """VMEM bytes the fused chain needs, with Mosaic (8,128) tile padding:
+    the minor axis pads to 128 lanes (D=4 really occupies 128) and the
+    second-minor to 8 sublanes.  Counted: block mats 2·(B,D,D), phases
+    (B,N,D), saved states 2·(B,N,D) + saved u 2·(B-1,N,D) [backward
+    residuals], outputs 2·(N,D), plus ~4 (N,D) live temporaries."""
+    dl = -(-D // 128) * 128
+    ds = -(-D // 8) * 8
+    n8 = -(-N // 8) * 8
+    # the backward kernel is the high-water mark: residuals (5 B-sized
+    # (N,D) arrays incl. phi) + phibar output + mbar outputs + mats
+    return 4 * (4 * B * ds * dl
+                + (3 * B + 2 * max(B - 1, 1) + B) * n8 * dl
+                + 8 * n8 * dl)
 
 
 def _kara(ar, ai, br, bi):
@@ -160,6 +205,7 @@ def _make_block_chain(nb, dim, inv_sqrt):
             in_specs=[vm, vm, vm],
             out_specs=(vm,) * 6,
             interpret=_interpret(),
+            compiler_params=_maybe_params(_fwd_stack_bytes(nb, n, dim)),
         )(mt_r, mt_i, phi)
 
     def bwd_call(mt_r, mt_i, phi, states_r, states_i, u_r, u_i, gr, gi):
@@ -175,6 +221,7 @@ def _make_block_chain(nb, dim, inv_sqrt):
             in_specs=[vm] * 9,
             out_specs=(vm,) * 3,
             interpret=_interpret(),
+            compiler_params=_maybe_params(_bwd_stack_bytes(nb, n, dim)),
         )(mt_r, mt_i, phi, states_r, states_i, u_r, u_i, gr, gi)
 
     @jax.custom_vjp
