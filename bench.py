@@ -44,7 +44,7 @@ def main():
                     help='fewer epochs / smaller dataset')
     ap.add_argument('--cpu', action='store_true', help='force CPU backend')
     ap.add_argument('--engine', default='auto',
-                    choices=['auto', 'dense', 'gates', 'pallas'])
+                    choices=['auto', 'dense', 'gates', 'fused', 'pallas'])
     ap.add_argument('--epochs', type=int, default=None)
     args = ap.parse_args()
 
@@ -136,6 +136,21 @@ def main():
     log(f"timed: {timed_epochs} epochs x {n} samples in {dt:.2f}s "
         f"=> {sps:,.0f} samples/sec (loss {loss_v:.4f})")
 
+    # Model-FLOP accounting (batch-dependent matmul work only; excludes the
+    # batch-independent block-unitary compilation, so this is a lower
+    # bound).  Per sample per block: forward Karatsuba complex matmul
+    # (1,D)x(D,D) = 3 real matmuls = 6D² FLOPs; backward adds the mbar and
+    # sbar Karatsuba pairs = 12D².  18·D²·n_blocks per sample.
+    D = 2 ** 5
+    n_blocks = 40 + 20
+    flops_per_sample = 18 * D * D * n_blocks
+    model_tflops = sps * flops_per_sample / 1e12
+    V5E_PEAK_BF16 = 197e12
+    mfu = model_tflops * 1e12 / V5E_PEAK_BF16
+    log(f"model FLOPs: {flops_per_sample / 1e6:.2f} MFLOP/sample "
+        f"=> {model_tflops:.3f} TFLOP/s, MFU {mfu * 100:.3f}% "
+        f"(v5e bf16 peak {V5E_PEAK_BF16 / 1e12:.0f} TFLOP/s)")
+
     # finish the full regime so the rel-L2 is from a fully trained model
     for e in range(1 + timed_epochs, epochs):
         params, opt_state, loss = one_epoch(params, opt_state, keys[e],
@@ -160,6 +175,8 @@ def main():
         "epochs": epochs,
         "engine": args.engine,
         "platform": platform,
+        "model_tflops_per_sec": round(model_tflops, 4),
+        "mfu_pct": round(mfu * 100, 4),
     }))
 
 

@@ -391,7 +391,7 @@ def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):
 def resolve_engine(engine: str, n_qubits: int) -> str:
     if engine in ('auto', None):
         if n_qubits > DENSE_MAX_QUBITS:
-            return 'gates'
+            return 'fused'   # grouped-kron MXU path (ops/fused_gates.py)
         # fused Pallas chain on TPU (falls back to dense beyond its VMEM
         # budget); interpret-mode Pallas is slow on CPU, use dense there
         return 'pallas' if jax.default_backend() == 'tpu' else 'dense'
@@ -408,6 +408,9 @@ def hea_forward_pair(spec: HEASpec, weights, x, engine='auto'):
         return _forward_dense(spec, weights, x)
     if engine == 'gates':
         return _forward_gates(spec, weights, x)
+    if engine == 'fused':
+        from quanonet_tpu.ops.fused_gates import forward_fused
+        return forward_fused(spec, weights, x)
     if engine == 'pallas':
         from quanonet_tpu.ops.pallas_hea import forward_pallas
         return forward_pallas(spec, weights, x)
