@@ -56,6 +56,77 @@ def test_gate_list_and_qasm():
     assert qasm_m.count('measure') == 2
 
 
+GOLDEN_QASM = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           'fixtures', 'golden_antideriv_t05.qasm')
+
+_QASM_1Q = __import__('re').compile(
+    r'^(rx|ry|rz)\((-?[\d.e+-]+)\) q\[(\d+)\];$')
+_QASM_CX = __import__('re').compile(r'^cx q\[(\d+)\],q\[(\d+)\];$')
+
+
+def _parse_qasm2(text):
+    """Minimal OpenQASM 2.0 reader for the gate set this exporter emits.
+    Stands in for qiskit (absent in this environment): anything the real
+    toolchain would parse, this must parse identically."""
+    n_wires, ops = None, []
+    for line in text.strip().splitlines():
+        if line.startswith('qreg'):
+            n_wires = int(line.split('[')[1].split(']')[0])
+            continue
+        m = _QASM_1Q.match(line)
+        if m:
+            ops.append((m.group(1), int(m.group(3)), float(m.group(2))))
+            continue
+        m = _QASM_CX.match(line)
+        if m:
+            ops.append(('cx', int(m.group(1)), int(m.group(2))))
+            continue
+        if line.split()[0] not in ('OPENQASM', 'include', 'creg', 'measure'):
+            raise ValueError(f"unparsed QASM line: {line!r}")
+    return n_wires, ops
+
+
+@needs_ckpt
+def test_golden_qasm_fixture():
+    """The emitted QASM2 text for the shipped Antideriv checkpoint at
+    trunk=0.5 is pinned byte-for-byte (drift in angle folding, gate order,
+    or float formatting breaks the committed fixture).  Mirrors the
+    reference's real-submission path (reference ibm_inference.py:21-59)
+    without needing qiskit."""
+    raw = load_raw(CKPT)
+    tw, bw, coeffs, bias = unpack_quanonet_weights(raw, [5, 1, 5, 1], 2)
+    branch = np.linspace(0, 1, 10)
+    n, ops = build_gate_list(branch, [0.5], tw, bw, coeffs)
+    qasm = to_qasm2(n, ops)
+    with open(GOLDEN_QASM) as f:
+        assert qasm == f.read()
+
+
+@needs_ckpt
+def test_qasm_roundtrip_through_independent_parser():
+    """to_qasm2 -> text -> parse -> re-simulate == original gate-list
+    simulation to 1e-6 (the qiskit-parse/Statevector equivalence check of
+    reference ibm_inference.py:205-213, with a local QASM2 reader standing
+    in for qiskit)."""
+    raw = load_raw(CKPT)
+    tw, bw, coeffs, bias = unpack_quanonet_weights(raw, [5, 1, 5, 1], 2)
+    branch = np.cos(np.pi * np.linspace(0, 1, 10))
+    for t in (0.0, 0.7):
+        n, ops = build_gate_list(branch, [t], tw, bw, coeffs)
+        n2, ops2 = _parse_qasm2(to_qasm2(n, ops))
+        assert n2 == n
+        assert len(ops2) == len(ops)
+        # structural contract: per block n RX + linear_depth*(3n rot + n cx)
+        assert sum(1 for o in ops2 if o[0] == 'rx') == 10 * 2
+        assert sum(1 for o in ops2 if o[0] == 'cx') == 10 * 2
+        # CNOT ring direction: control=(i+1)%n, target=i
+        cxs = [o for o in ops2 if o[0] == 'cx'][:2]
+        assert cxs == [('cx', 1, 0), ('cx', 0, 1)]
+        z1 = simulate_gate_list(n, ops)
+        z2 = simulate_gate_list(n2, ops2)
+        np.testing.assert_allclose(z2, z1, atol=1e-6)
+
+
 @needs_ckpt
 def test_export_self_verifies_against_model():
     """Gate-level replay of the folded circuit == fused-engine model
