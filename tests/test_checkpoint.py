@@ -85,6 +85,12 @@ def test_flatten_unflatten_roundtrip(tmp_path):
      'RDiffusion/RDiffusion_QuanONet_Net40-2-20-2_Q5_TF_S0.1_1000x100_Seed0',
      dict(num_points=100, num_points_0=100, train_sample_num=100,
           test_sample_num=200), 0.15),
+    # the headline-metric anchor: full-size regeneration scores 0.1697
+    # (docs/BENCHMARKS.md quality table); small resample band is wider
+    ('Advection',
+     'Advection/Advection_QuanONet_Net40-2-20-2_Q5_TF_S0.1_1000x100_Seed0',
+     dict(num_points=100, num_points_0=100, train_sample_num=100,
+          test_sample_num=200), 0.25),
 ])
 def test_golden_pde_checkpoints(tmp_path, monkeypatch, op, ckpt_dir, dcfg,
                                 max_rel):
