@@ -451,11 +451,32 @@ class Solver:
         batch_size = max(self.config.get('batch_size', 100), 4096)
         n = self.test_output.shape[0]
         fwd = jax.jit(lambda *inp: self.model.apply(params, *inp))
+
+        # when training ran data-parallel, evaluate over the same mesh:
+        # shard the sample axis over 'data' (params replicated) and let
+        # XLA run the forward SPMD
+        n_devices = int(self.config.get('num_devices') or 1)
+        shard = None
+        if n_devices > 1:
+            from jax.sharding import NamedSharding, PartitionSpec
+            from quanonet_tpu.parallel import make_mesh
+            mesh = make_mesh(n_devices)
+            shard = NamedSharding(mesh, PartitionSpec('data'))
+
         preds = []
         for s in range(0, n, batch_size):
-            batch = tuple(jnp.asarray(a[s:s + batch_size])
-                          for a in self.test_inputs)
-            preds.append(np.asarray(fwd(*batch)))
+            batch = tuple(a[s:s + batch_size] for a in self.test_inputs)
+            real = batch[0].shape[0]
+            if shard is not None:
+                pad = (-real) % n_devices
+                if pad:
+                    batch = tuple(np.concatenate([b, b[:pad]])
+                                  for b in batch)
+                batch = tuple(jax.device_put(jnp.asarray(b), shard)
+                              for b in batch)
+            else:
+                batch = tuple(jnp.asarray(b) for b in batch)
+            preds.append(np.asarray(fwd(*batch))[:real])
         y_pred = np.concatenate(preds, axis=0)
         y_true = self.test_output
 

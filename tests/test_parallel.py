@@ -81,6 +81,16 @@ def test_solver_num_devices_end_to_end(tmp_path, monkeypatch):
     assert np.isfinite(metrics['rel_l2'])
     # note: 21 fns x 5 pts = 105 samples -> padded to 108 over 4 devices
 
+    # the mesh-sharded evaluation must equal a plain single-device forward
+    p = solver.best_params if solver.best_params is not None \
+        else solver.params
+    p = jax.tree_util.tree_map(jnp.asarray, p)
+    preds = np.asarray(solver.model.apply(
+        p, *[jnp.asarray(a) for a in solver.test_inputs]))
+    ref_rel = np.linalg.norm(preds - solver.test_output) / (
+        np.linalg.norm(solver.test_output) + 1e-8)
+    np.testing.assert_allclose(metrics['rel_l2'], ref_rel, atol=1e-5)
+
 
 def test_dp_solver_bad_batch_size():
     from quanonet_tpu.parallel.dp_solver import make_dp_run_segment
