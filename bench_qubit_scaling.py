@@ -1,0 +1,154 @@
+#!/usr/bin/env python3
+"""
+Qubit-scaling benchmark: train-step and forward throughput as the
+Hilbert-space dimension grows (the reference's scale axis, SURVEY.md §5.7
+— its studies sweep Q2→Q10; BASELINE.json's stretch config asks for
+Q8–Q16 statevectors).
+
+Engines measured per size:
+  * Q ≤ 11 : pallas (VMEM fused chain) / dense (XLA block-unitary)
+  * Q ≥ 8  : fused (grouped-kron MXU path, ops/fused_gates.py) — the
+             large-n route that removes the dense path's O(8^n) cliff
+  * Q12–Q16: forward-only in addition to training (capacity probing)
+
+Synthetic data (throughput is data-independent); one program shape per
+loop; value-synchronised timing (CLAUDE.md tunnel rules).  Emits one JSON
+line per measurement; `--table` renders the markdown for BENCHMARKS.md.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+BASELINE_SPS = 2083.0   # Q5 MindQuantum CPU anchor (BASELINE.md) — the
+#                         reference would only be SLOWER at larger Q, so
+#                         using it for all sizes understates our speedup
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_config(n_qubits, net_size, engine, batch, epochs_timed=20,
+                 train=True, steps_per_epoch=10):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from quanonet_tpu.models import QuanONet
+
+    rng = np.random.RandomState(0)
+    n_in = 100
+    n = batch * steps_per_epoch
+    branch = jnp.asarray(rng.randn(n, n_in).astype(np.float32))
+    trunk = jnp.asarray(rng.rand(n, 2).astype(np.float32))
+    target = jnp.asarray(rng.randn(n, 1).astype(np.float32))
+
+    model = QuanONet(num_qubits=n_qubits, branch_input_size=n_in,
+                     trunk_input_size=2, net_size=tuple(net_size),
+                     scale_coeff=0.1, if_trainable_freq=True, engine=engine)
+    params = model.init(jax.random.PRNGKey(0), branch[:1], trunk[:1])
+
+    if not train:
+        fwd = jax.jit(lambda p, b, t: model.apply(p, b, t))
+        out = fwd(params, branch[:batch], trunk[:batch])
+        float(jnp.sum(out))               # compile + sync
+        t0 = time.time()
+        reps = max(epochs_timed, 5)
+        for i in range(reps):
+            s = (i % steps_per_epoch) * batch
+            out = fwd(params, branch[s:s + batch], trunk[s:s + batch])
+        float(jnp.sum(out))               # value sync
+        dt = time.time() - t0
+        return reps * batch / dt, None
+
+    optimizer = optax.adam(1e-4)
+    opt_state = optimizer.init(params)
+
+    def batch_loss(p, b, t, y):
+        return jnp.mean((model.apply(p, b, t) - y) ** 2)
+
+    @jax.jit
+    def one_epoch(params, opt_state, key, branch, trunk, target):
+        idx = jax.random.permutation(key, n).reshape(steps_per_epoch, batch)
+
+        def step(c, bi):
+            params, opt_state = c
+            loss, grads = jax.value_and_grad(batch_loss)(
+                params, branch[bi], trunk[bi], target[bi])
+            upd, opt_state = optimizer.update(grads, opt_state, params)
+            return (optax.apply_updates(params, upd), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            step, (params, opt_state), idx)
+        return params, opt_state, jnp.mean(losses)
+
+    keys = jax.random.split(jax.random.PRNGKey(1), epochs_timed + 1)
+    t0 = time.time()
+    params, opt_state, l0 = one_epoch(params, opt_state, keys[0],
+                                      branch, trunk, target)
+    float(l0)                             # value sync
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for e in range(1, epochs_timed + 1):
+        params, opt_state, loss = one_epoch(params, opt_state, keys[e],
+                                            branch, trunk, target)
+    loss_v = float(loss)                  # value sync
+    dt = time.time() - t0
+    assert np.isfinite(loss_v)
+    return epochs_timed * n / dt, compile_s
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--quick', action='store_true')
+    ap.add_argument('--only', type=int, default=None,
+                    help='bench a single qubit count')
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.join(REPO, '.jax_cache'))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+    sys.path.insert(0, REPO)
+    log(f"devices: {jax.devices()}")
+
+    # (qubits, net_size, engines, batch, train?)
+    CONFIGS = [
+        (5,  (40, 2, 20, 2), ('pallas', 'fused'), 100, True),
+        (8,  (40, 2, 20, 2), ('pallas', 'fused'), 100, True),
+        (10, (40, 2, 20, 2), ('dense', 'fused'), 100, True),
+        (12, (10, 2, 10, 2), ('fused',), 100, True),
+        (14, (5, 2, 5, 2), ('fused',), 32, True),
+        (16, (5, 2, 5, 2), ('fused',), 16, False),
+    ]
+    timed = 3 if args.quick else 20
+    for nq, net, engines, batch, train in CONFIGS:
+        if args.only and nq != args.only:
+            continue
+        for eng in engines:
+            try:
+                sps, compile_s = bench_config(nq, net, eng, batch,
+                                              epochs_timed=timed,
+                                              train=train)
+            except Exception as e:
+                log(f"Q{nq} {eng}: FAILED {type(e).__name__}: {e}")
+                continue
+            print(json.dumps({
+                "metric": f"qubit_scaling_q{nq}_{eng}"
+                          f"{'_train' if train else '_fwd'}",
+                "qubits": nq, "engine": eng,
+                "net_size": list(net), "batch": batch,
+                "mode": "train" if train else "forward",
+                "value": round(sps, 1), "unit": "samples/sec",
+                "vs_baseline": round(sps / BASELINE_SPS, 2),
+                "compile_s": None if compile_s is None
+                             else round(compile_s, 1),
+            }), flush=True)
+
+
+if __name__ == '__main__':
+    main()
