@@ -38,32 +38,24 @@ from quanonet_tpu.solver import (
 
 
 def _guard_vmapped_engine(config, n_seeds):
-    """Under vmap the Pallas chain's whole working set is batched into
-    VMEM (n_seeds x the single-seed footprint), which OOMs for the
-    flagship nets — fall back to the dense XLA engine when the vmapped
-    footprint exceeds the budget."""
-    if config['model_type'] not in QUANTUM_MODELS:
+    """Never vmap the Pallas chain across seeds: vmap batches the whole
+    kernel (state, residuals, all block matrices) into one VMEM-resident
+    instance, multiplying the footprint by n_seeds — which OOMs the
+    scoped-VMEM stack for the larger nets — and the vmapped kernels
+    serialize anyway, so there is no aggregate speedup to lose (measured
+    in round 1).  The dense XLA engine vmaps cleanly."""
+    if config['model_type'] not in QUANTUM_MODELS or n_seeds <= 1:
         return config
-    from quanonet_tpu.ops.hea import (
-        heaqnn_spec, quanonet_spec, resolve_engine,
-    )
-    from quanonet_tpu.ops.pallas_hea import VMEM_BUDGET, _chain_workset_bytes
+    from quanonet_tpu.ops.hea import resolve_engine
 
     engine = resolve_engine(config.get('engine', 'auto'),
                             config['num_qubits'])
     if engine != 'pallas':
         return config
-    net_size = tuple(config.get('net_size') or (20, 2, 10, 2))
-    spec = (quanonet_spec(config['num_qubits'], net_size)
-            if config['model_type'] == 'QuanONet'
-            else heaqnn_spec(config['num_qubits'], net_size))
-    batch = config.get('batch_size', 100)
-    if n_seeds * _chain_workset_bytes(spec.n_blocks, max(batch, 8),
-                                      spec.dim) > VMEM_BUDGET:
-        config = dict(config)
-        config['engine'] = 'dense'
-        print(f"[multi-seed] pallas working set x{n_seeds} seeds exceeds "
-              f"VMEM; using the dense engine")
+    config = dict(config)
+    config['engine'] = 'dense'
+    print(f"[multi-seed] vmapping the pallas chain x{n_seeds} seeds "
+          f"multiplies its VMEM footprint; using the dense engine")
     return config
 
 
