@@ -96,11 +96,19 @@ def _local_bits(local_n):
     return k
 
 
-def make_sharded_hea(spec: HEASpec, mesh, axis='amp'):
+def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False):
     """Build a jitted sharded expectation fn:
     f(weights, x, diag) -> (batch, 1).
 
     weights/x replicated; diag sharded over the amplitude axis.
+
+    fused=True swaps the LOCAL-qubit work onto the grouped-kron MXU path
+    (ops/fused_gates.py): per sublayer, local rotations become n/7
+    128-wide matmuls instead of 3·local_n elementwise state passes, and
+    the ring's local CNOT run collapses to ONE composite gather.  Global
+    qubits keep the per-gate collective formulas (RZ free, RY/RX one
+    ppermute, boundary CNOTs one ppermute) — the communication pattern is
+    unchanged, only on-shard compute is restructured.
     """
     n = spec.n_qubits
     n_dev = mesh.shape[axis]
@@ -175,6 +183,83 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp'):
         pi = _swap_with_partner(si, axis, n_dev, dev_bit_t)
         return jnp.where(cbit == 1, pr, sr), jnp.where(cbit == 1, pi, si)
 
+    if fused and not spec.uniform_encode:
+        raise ValueError("fused sharded engine requires uniform encode")
+
+    # composite permutation of the ring's LOCAL CNOT run (i = 0..local_n-2;
+    # the remaining links touch global qubits and keep per-gate handling)
+    _kidx = np.arange(local_dim)
+    _p = _kidx.copy()
+    for _i in range(max(local_n - 1, 0)):
+        _c = _i + 1
+        _p = _p ^ (((_p >> _c) & 1) << _i)
+    _inv_local_ring = np.empty_like(_p)
+    _inv_local_ring[_p] = _kidx
+
+    def body_fused(weights, x, diag_local):
+        from quanonet_tpu.ops.fused_gates import (
+            _apply_group, _apply_hadamard, _group_unitary, _rot2x2,
+            qubit_groups,
+        )
+        from quanonet_tpu.ops.gates import z_signs
+
+        my_id = jax.lax.axis_index(axis)
+        batch = x.shape[0]
+        groups = qubit_groups(local_n) if local_n > 0 else ()
+        zs_local = jnp.asarray(z_signs(local_n)) if local_n > 0 else None
+        inv_ring = jnp.asarray(_inv_local_ring)
+
+        rr, ri = jax.vmap(_rot2x2)(weights)      # (S, n, 2, 2) each
+
+        amp0 = jnp.where(my_id == 0, 1.0, 0.0)
+        sr = jnp.zeros((batch, local_dim), jnp.float32).at[:, 0].set(amp0)
+        si = jnp.zeros((batch, local_dim), jnp.float32)
+
+        col = 0
+        sub = 0
+        for n_encode, linear_depth in spec.block_configs:
+            # encode — RX gates on distinct wires commute, so reorder:
+            # global wires per-gate (1 ppermute each), local wires as
+            # H · D(x) · H with the left H deferred into the sublayer
+            for i in range(local_n, n):
+                sr, si = rx_any(sr, si, i, x[:, col + i], my_id)
+            if local_n > 0:
+                sr, si = _apply_hadamard(sr, si, groups, local_n)
+                phi = 0.5 * (x[:, col:col + local_n] @ zs_local.T)
+                dr, di = jnp.cos(phi), -jnp.sin(phi)
+                sr, si = dr * sr - di * si, dr * si + di * sr
+            pending_h = local_n > 0
+            col += n_encode
+
+            for _ in range(linear_depth):
+                w = weights[sub]
+                # local rotations: one grouped-kron apply per group
+                for off, kk in groups:
+                    ur, ui = _group_unitary(rr[sub], ri[sub], off, kk,
+                                            pending_h)
+                    sr, si = _apply_group(sr, si, ur, ui, off, kk,
+                                          local_n)
+                pending_h = False
+                # global rotations per-gate (RZ communication-free)
+                for i in range(local_n, n):
+                    c0, s0 = jnp.cos(w[0, i] / 2), jnp.sin(w[0, i] / 2)
+                    sr, si = ry_any(sr, si, i, c0, s0, my_id)
+                    sr, si = rz_any(sr, si, i, w[1, i] / 2, my_id)
+                    c2, s2 = jnp.cos(w[2, i] / 2), jnp.sin(w[2, i] / 2)
+                    sr, si = ry_any(sr, si, i, c2, s2, my_id)
+                if n > 1:
+                    if local_n > 1:     # the whole local run in one gather
+                        sr, si = sr[:, inv_ring], si[:, inv_ring]
+                    for i in range(max(local_n - 1, 0), n):
+                        sr, si = cnot_any(sr, si, (i + 1) % n, i, my_id)
+                sub += 1
+            if pending_h:               # encoding-only block
+                sr, si = _apply_hadamard(sr, si, groups, local_n)
+
+        local = (sr * sr + si * si) @ diag_local       # (batch,)
+        total = jax.lax.psum(local, axis)
+        return total[:, None]
+
     def body(weights, x, diag_local):
         my_id = jax.lax.axis_index(axis)
         batch = x.shape[0]
@@ -209,15 +294,46 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp'):
         return total[:, None]
 
     sharded = shard_map(
-        body, mesh=mesh,
+        body_fused if fused else body, mesh=mesh,
         in_specs=(P(), P(), P(axis)),
         out_specs=P(),
         check_vma=False)
     return jax.jit(sharded)
 
 
-def hea_expectation_sharded(spec, weights, x, diag, mesh, axis='amp'):
+def hea_expectation_sharded(spec, weights, x, diag, mesh, axis='amp',
+                            fused=False):
     """One-shot convenience wrapper around make_sharded_hea."""
-    f = make_sharded_hea(spec, mesh, axis=axis)
+    f = make_sharded_hea(spec, mesh, axis=axis, fused=fused)
     return f(jnp.asarray(weights), jnp.asarray(x),
              jnp.asarray(diag, jnp.float32))
+
+
+def sharded_collective_counts(spec: HEASpec, n_dev: int) -> dict:
+    """Analytic ICI-traffic model of one sharded forward pass.
+
+    With k = log2(n_dev) global qubits: per block the encode needs k
+    ppermutes (one per global RX; local RXs are the communication-free
+    H·D·H path); per sublayer the two global RY rows cost 2k ppermutes
+    (global RZ is free — the device's bit is constant across its shard)
+    and the ring costs k+1 (the k global-target links plus the wrap link
+    control=0 → target=n-1; the local run is one on-shard gather).  The
+    measurement adds one psum.  Each ppermute moves the full local shard:
+    batch · 2^(n-k) · 2 · 4 bytes.
+
+    Returns {'ppermutes', 'psums', 'bytes_per_sample'} — the numbers the
+    scaling table in docs/BENCHMARKS.md reports.
+    """
+    k = int(math.log2(n_dev))
+    if 2 ** k != n_dev:
+        raise ValueError("n_dev must be a power of 2")
+    if k > spec.n_qubits:
+        raise ValueError("more devices than amplitudes")
+    pp = 0
+    for _, ld in spec.block_configs:
+        pp += k                          # encode: global RXs
+        per_sub = 2 * k + (k + 1 if spec.n_qubits > 1 and k > 0 else 0)
+        pp += ld * per_sub
+    shard_bytes = 2 ** (spec.n_qubits - k) * 2 * 4
+    return {'ppermutes': pp, 'psums': 1,
+            'bytes_per_sample': pp * shard_bytes}

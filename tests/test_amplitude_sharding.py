@@ -65,6 +65,48 @@ def test_sharded_gradients():
     np.testing.assert_allclose(g_s, g_r, atol=1e-4)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize("nq,net,quanonet", [
+    (3, (2, 1, 2, 1), True),   # n_dev=8 => local_n=0, all qubits global
+    (5, (3, 2), False),
+    (6, (2, 2, 2, 1), True),
+])
+def test_fused_sharded_matches_single_device(n_dev, nq, net, quanonet):
+    """The grouped-kron local path of the sharded engine (fused=True)
+    must agree with the single-device gates oracle."""
+    if n_dev > 2 ** nq:
+        pytest.skip("more devices than amplitudes")
+    spec, w, x, diag = _case(nq, net, batch=3, quanonet=quanonet)
+    ref = np.asarray(hea_expectation(spec, w, x, diag=diag, engine='gates'))
+    out = np.asarray(hea_expectation_sharded(spec, w, x, diag,
+                                             _mesh(n_dev), fused=True))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_fused_sharded_gradients():
+    spec, w, x, diag = _case(4, (2, 2, 1, 1), batch=2)
+    mesh = _mesh(4)
+    f = make_sharded_hea(spec, mesh, fused=True)
+    g_s = np.asarray(jax.grad(
+        lambda w_: jnp.sum(f(w_, x, diag) ** 2))(w))
+    g_r = np.asarray(jax.grad(
+        lambda w_: jnp.sum(hea_expectation(spec, w_, x, diag=diag,
+                                           engine='gates') ** 2))(w))
+    np.testing.assert_allclose(g_s, g_r, atol=1e-4)
+
+
+def test_collective_counts():
+    from quanonet_tpu.parallel.amplitude import sharded_collective_counts
+    spec = quanonet_spec(5, (2, 2, 2, 2))     # 4 blocks x 2 sublayers
+    c = sharded_collective_counts(spec, 4)    # k=2 global qubits
+    # per block: 2 encode + 2 sublayers x (2*2 RY + (2+1) ring) = 2 + 14
+    assert c['ppermutes'] == 4 * (2 + 2 * (4 + 3))
+    assert c['psums'] == 1
+    assert c['bytes_per_sample'] == c['ppermutes'] * (2 ** 3) * 8
+    with pytest.raises(ValueError, match="power of 2"):
+        sharded_collective_counts(spec, 3)
+
+
 def test_rejects_non_power_of_two():
     spec, w, x, diag = _case(3, (1, 1, 1, 1), batch=2)
     devs = mesh_utils.create_device_mesh((3,), devices=jax.devices()[:3])
