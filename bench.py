@@ -44,7 +44,7 @@ def main():
                     help='fewer epochs / smaller dataset')
     ap.add_argument('--cpu', action='store_true', help='force CPU backend')
     ap.add_argument('--engine', default='auto',
-                    choices=['auto', 'dense', 'gates', 'fused', 'pallas'])
+                    choices=['auto', 'dense', 'gates', 'fused', 'pallas', 'embed'])
     ap.add_argument('--epochs', type=int, default=None)
     args = ap.parse_args()
 

@@ -44,8 +44,10 @@ def report(name, passed, detail=""):
 def _engines():
     import jax
     eng = ['dense', 'gates', 'fused']
-    # pallas runs compiled on TPU and interpreted elsewhere (slow but exact)
+    # pallas/embed run compiled on TPU and interpreted elsewhere (slow but
+    # exact)
     eng.append('pallas')
+    eng.append('embed')
     return eng
 
 

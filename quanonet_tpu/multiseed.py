@@ -50,11 +50,11 @@ def _guard_vmapped_engine(config, n_seeds):
 
     engine = resolve_engine(config.get('engine', 'auto'),
                             config['num_qubits'])
-    if engine != 'pallas':
+    if engine not in ('pallas', 'embed'):
         return config
     config = dict(config)
     config['engine'] = 'dense'
-    print(f"[multi-seed] vmapping the pallas chain x{n_seeds} seeds "
+    print(f"[multi-seed] vmapping the {engine} chain x{n_seeds} seeds "
           f"multiplies its VMEM footprint; using the dense engine")
     return config
 

@@ -414,6 +414,9 @@ def hea_forward_pair(spec: HEASpec, weights, x, engine='auto'):
     if engine == 'pallas':
         from quanonet_tpu.ops.pallas_hea import forward_pallas
         return forward_pallas(spec, weights, x)
+    if engine == 'embed':
+        from quanonet_tpu.ops.pallas_embed import forward_embed
+        return forward_embed(spec, weights, x)
     raise ValueError(f"unknown engine '{engine}'")
 
 
@@ -432,9 +435,13 @@ def hea_expectation(spec: HEASpec, weights, x, diag=None, pauli='Z',
     diag: (2^n,) diagonal Hamiltonian (includes offset/coeff) when pauli='Z';
     offset/coeff parameterise Σ X_i / Σ Y_i observables otherwise.
     """
-    if pauli == 'Z' and resolve_engine(engine, spec.n_qubits) == 'pallas':
+    resolved = resolve_engine(engine, spec.n_qubits)
+    if pauli == 'Z' and resolved == 'pallas':
         from quanonet_tpu.ops.pallas_hea import hea_expectation_pallas
         return hea_expectation_pallas(spec, weights, x, diag)
+    if pauli == 'Z' and resolved == 'embed':
+        from quanonet_tpu.ops.pallas_embed import hea_expectation_embed
+        return hea_expectation_embed(spec, weights, x, diag)
     sr, si = hea_forward_pair(spec, weights, x, engine=engine)
     if pauli == 'Z':
         if diag is None:

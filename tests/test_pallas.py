@@ -24,27 +24,29 @@ def _setup(nq=3, net=(4, 2, 3, 1), batch=5, seed=0):
     return spec, w, x, diag
 
 
+@pytest.mark.parametrize("engine", ["pallas", "embed"])
 @pytest.mark.parametrize("nq,net,batch", [
     (2, (5, 1, 5, 1), 4),     # shipped architecture
     (3, (4, 2, 3, 1), 5),     # mixed linear depths, batch not mult of 8
     (5, (4, 2, 2, 2), 16),
 ])
-def test_pallas_matches_dense_forward(nq, net, batch):
+def test_pallas_matches_dense_forward(nq, net, batch, engine):
     spec, w, x, diag = _setup(nq, net, batch)
-    out_p = hea_expectation(spec, w, x, diag=diag, engine='pallas')
+    out_p = hea_expectation(spec, w, x, diag=diag, engine=engine)
     out_d = hea_expectation(spec, w, x, diag=diag, engine='dense')
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_d),
                                atol=1e-4)
 
 
-def test_pallas_matches_dense_grad():
+@pytest.mark.parametrize("engine", ["pallas", "embed"])
+def test_pallas_matches_dense_grad(engine):
     spec, w, x, diag = _setup()
 
-    def loss(weights, xx, engine):
+    def loss(weights, xx, eng):
         return jnp.sum(
-            hea_expectation(spec, weights, xx, diag=diag, engine=engine) ** 2)
+            hea_expectation(spec, weights, xx, diag=diag, engine=eng) ** 2)
 
-    gw_p, gx_p = jax.grad(lambda w_, x_: loss(w_, x_, 'pallas'),
+    gw_p, gx_p = jax.grad(lambda w_, x_: loss(w_, x_, engine),
                           argnums=(0, 1))(w, x)
     gw_d, gx_d = jax.grad(lambda w_, x_: loss(w_, x_, 'dense'),
                           argnums=(0, 1))(w, x)
