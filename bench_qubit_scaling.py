@@ -118,7 +118,7 @@ def main():
 
     # (qubits, net_size, engines, batch, train?)
     CONFIGS = [
-        (5,  (40, 2, 20, 2), ('pallas', 'fused'), 100, True),
+        (5,  (40, 2, 20, 2), ('pallas', 'embed', 'fused'), 100, True),
         (8,  (40, 2, 20, 2), ('pallas', 'fused'), 100, True),
         (10, (40, 2, 20, 2), ('dense', 'fused'), 100, True),
         (12, (10, 2, 10, 2), ('fused',), 100, True),
