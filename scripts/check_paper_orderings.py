@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""
+Validate the reference paper's headline orderings from harvested sweep
+CSVs (docs/*.csv, produced by scripts/collect_results.py).
+
+Checks, per operator, using each config family's BEST scale (the paper
+also reports per-family best hyperparameters):
+
+  1. TF-QuanONet beats FF-QuanONet        (trainable frequencies help)
+  2. QuanONet beats HEAQNN                (branch/trunk split helps)
+  3. TF-QuanONet is competitive with the classical baselines
+     (within 2x of the better of DeepONet/FNN, and beats them on at
+     least one operator)
+
+Exit 0 if every available check passes, 1 otherwise; operators whose
+rows are not yet harvested are reported as SKIP.  Reference:
+scripts/reproduce_benchmarks1.sh regimes (identical tables).
+"""
+import csv
+import sys
+from collections import defaultdict
+
+PATH = sys.argv[1] if len(sys.argv) > 1 else 'docs/benchmarks1_results.csv'
+
+
+def family(config):
+    """('QuanONet'|'HEAQNN'|'DeepONet'|'FNN', 'TF'|'FF'|'')"""
+    parts = config.split('_')
+    model = parts[1]
+    freq = 'TF' if '_TF_' in config else ('FF' if '_FF_' in config else '')
+    return model, freq
+
+
+def main():
+    best = defaultdict(dict)   # operator -> (model, freq) -> min mean rel_l2
+    with open(PATH) as f:
+        for row in csv.DictReader(f):
+            op = row['operator']
+            key = family(row['config'])
+            v = float(row['rel_l2_mean'])
+            if key not in best[op] or v < best[op][key]:
+                best[op][key] = v
+
+    failures, checks = [], 0
+    quanonet_beats_classical = 0
+    for op in sorted(best):
+        b = best[op]
+        qtf = b.get(('QuanONet', 'TF'))
+        qff = b.get(('QuanONet', 'FF'))
+        htf = b.get(('HEAQNN', 'TF'))
+        classical = [v for k, v in b.items()
+                     if k[0] in ('DeepONet', 'FNN')]
+
+        def check(name, ok):
+            nonlocal checks
+            if ok is None:
+                print(f"  SKIP {name} (rows missing)")
+                return
+            checks += 1
+            print(f"  {'PASS' if ok else 'FAIL'} {name}")
+            if not ok:
+                failures.append(f"{op}: {name}")
+
+        print(f"{op}:")
+        check("TF-QuanONet < FF-QuanONet",
+              None if qtf is None or qff is None else qtf < qff)
+        check("TF-QuanONet < TF-HEAQNN",
+              None if qtf is None or htf is None else qtf < htf)
+        if qtf is not None and classical:
+            best_classical = min(classical)
+            check("TF-QuanONet within 2x of best classical",
+                  qtf < 2.0 * best_classical)
+            if qtf < best_classical:
+                quanonet_beats_classical += 1
+
+    print(f"\n{checks} checks run; TF-QuanONet beats the best classical "
+          f"baseline outright on {quanonet_beats_classical} operator(s)")
+    if quanonet_beats_classical == 0 and checks:
+        failures.append("TF-QuanONet beats classical on zero operators")
+    if failures:
+        print("FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("paper orderings reproduce ✓")
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())
