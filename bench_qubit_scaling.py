@@ -116,24 +116,29 @@ def main():
     sys.path.insert(0, REPO)
     log(f"devices: {jax.devices()}")
 
-    # (qubits, net_size, engines, batch, train?)
+    # (qubits, net_size, engines, batch, train?, steps_per_epoch)
+    # steps_per_epoch sizes ONE jitted program; small-Q rows need large
+    # programs or the tunnel's per-call RPC latency (~5 ms) dominates and
+    # understates throughput ~4x (first harvest measured Q5 pallas 128K
+    # at 10 steps/epoch vs 528K via bench.py's 1000-step epochs).
     CONFIGS = [
-        (5,  (40, 2, 20, 2), ('pallas', 'embed', 'fused'), 100, True),
-        (8,  (40, 2, 20, 2), ('pallas', 'fused'), 100, True),
-        (10, (40, 2, 20, 2), ('dense', 'fused'), 100, True),
-        (12, (10, 2, 10, 2), ('fused',), 100, True),
-        (14, (5, 2, 5, 2), ('fused',), 32, True),
-        (16, (5, 2, 5, 2), ('fused',), 16, False),
+        (5,  (40, 2, 20, 2), ('pallas', 'embed', 'fused'), 100, True, 200),
+        (8,  (40, 2, 20, 2), ('pallas', 'fused'), 100, True, 100),
+        (10, (40, 2, 20, 2), ('dense', 'fused'), 100, True, 20),
+        (12, (10, 2, 10, 2), ('fused',), 100, True, 20),
+        (14, (5, 2, 5, 2), ('fused',), 32, True, 10),
+        (16, (5, 2, 5, 2), ('fused',), 16, False, 10),
     ]
     timed = 3 if args.quick else 20
-    for nq, net, engines, batch, train in CONFIGS:
+    for nq, net, engines, batch, train, spe in CONFIGS:
         if args.only and nq != args.only:
             continue
         for eng in engines:
             try:
                 sps, compile_s = bench_config(nq, net, eng, batch,
                                               epochs_timed=timed,
-                                              train=train)
+                                              train=train,
+                                              steps_per_epoch=spe)
             except Exception as e:
                 log(f"Q{nq} {eng}: FAILED {type(e).__name__}: {e}")
                 continue

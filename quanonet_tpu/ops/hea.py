@@ -388,9 +388,17 @@ def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):
 
 # ── public API ───────────────────────────────────────────────────────────────
 
+FUSED_MIN_QUBITS = 8  # auto switches to the grouped-kron path here:
+#                       measured Q10 train (Net40-2-20-2, bs=100, v5e):
+#                       fused 10,820 vs dense 1,059 samples/s — the dense
+#                       block-unitary fold is O(8^n) per step; the Pallas
+#                       chain's VMEM block matrices are 2·nb·4^n floats
+#                       (31 MiB at Q8), past the comfortable scoped limit.
+
+
 def resolve_engine(engine: str, n_qubits: int) -> str:
     if engine in ('auto', None):
-        if n_qubits > DENSE_MAX_QUBITS:
+        if n_qubits >= FUSED_MIN_QUBITS:
             return 'fused'   # grouped-kron MXU path (ops/fused_gates.py)
         # fused Pallas chain on TPU (falls back to dense beyond its VMEM
         # budget); interpret-mode Pallas is slow on CPU, use dense there

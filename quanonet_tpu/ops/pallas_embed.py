@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from quanonet_tpu.ops import hea as _hea
 from quanonet_tpu.ops.pallas_hea import (
-    _interpret, _maybe_params, _pad_batch, _prepare, VMEM_BUDGET,
+    _interpret, _maybe_params2, _pad_batch, _prepare, VMEM_BUDGET,
 )
 
 
@@ -125,7 +125,9 @@ def _make_chain(nb, d, inv_sqrt):
             in_specs=[vm, vm],
             out_specs=(vm,) * 3,
             interpret=_interpret(),
-            compiler_params=_maybe_params(_embed_workset_bytes(nb, n, d)),
+            compiler_params=_maybe_params2(
+                _embed_workset_bytes(nb, n, d),
+                4 * 2 * nb * (2 * d) * max(2 * d, 128)),
         )(e, t)
 
     def bwd_call(e, t, states, u, g):
@@ -141,7 +143,9 @@ def _make_chain(nb, d, inv_sqrt):
             in_specs=[vm] * 5,
             out_specs=(vm,) * 2,
             interpret=_interpret(),
-            compiler_params=_maybe_params(_embed_workset_bytes(nb, n, d)),
+            compiler_params=_maybe_params2(
+                _embed_workset_bytes(nb, n, d),
+                4 * 2 * nb * (2 * d) * max(2 * d, 128)),
         )(e, t, states, u, g)
 
     @jax.custom_vjp

@@ -62,6 +62,26 @@ def _maybe_params(stack_bytes):
     return None
 
 
+def _maybe_params2(stack_bytes, input_bytes):
+    """Raise when either the output stack or the VMEM inputs approach
+    the default limit.  The flagship shape (D=32: inputs ~5 MiB, stack
+    ~14 MiB) must stay UNRAISED — the blanket raise costs ~8% there —
+    while D≥256 shapes (inputs ≥31 MiB at any batch) must raise."""
+    if input_bytes > int(0.75 * DEFAULT_SCOPED_LIMIT):
+        return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+    return _maybe_params(stack_bytes)
+
+
+def _mat_input_bytes(B, D):
+    """VMEM bytes of the block-matrix inputs 2·(B,D,D).  Mosaic counts
+    VMEM-resident INPUTS against the scoped stack too — at Q8
+    (D=256, B=60) the matrices alone are 31.4 MiB, which OOM'd the
+    16 MiB default even at batch 1 (model.init) until this term was
+    added to the raise trigger."""
+    ds, dl = _tile_dims(D, D)
+    return 2 * 4 * B * ds * dl
+
+
 def _fwd_stack_bytes(B, N, D):
     """Scoped-stack (output) bytes of the forward kernel: sr/si (N,D)·2,
     saved states (B,N,D)·2, saved u (B-1,N,D)·2, ~10% temporaries."""
@@ -205,7 +225,8 @@ def _make_block_chain(nb, dim, inv_sqrt):
             in_specs=[vm, vm, vm],
             out_specs=(vm,) * 6,
             interpret=_interpret(),
-            compiler_params=_maybe_params(_fwd_stack_bytes(nb, n, dim)),
+            compiler_params=_maybe_params2(_fwd_stack_bytes(nb, n, dim),
+                                           _mat_input_bytes(nb, dim)),
         )(mt_r, mt_i, phi)
 
     def bwd_call(mt_r, mt_i, phi, states_r, states_i, u_r, u_i, gr, gi):
@@ -221,7 +242,8 @@ def _make_block_chain(nb, dim, inv_sqrt):
             in_specs=[vm] * 9,
             out_specs=(vm,) * 3,
             interpret=_interpret(),
-            compiler_params=_maybe_params(_bwd_stack_bytes(nb, n, dim)),
+            compiler_params=_maybe_params2(_bwd_stack_bytes(nb, n, dim),
+                                           _mat_input_bytes(nb, dim)),
         )(mt_r, mt_i, phi, states_r, states_i, u_r, u_i, gr, gi)
 
     @jax.custom_vjp
