@@ -78,3 +78,39 @@ def test_pallas_in_model():
     np.testing.assert_allclose(np.asarray(model_p.apply(params, b, t)),
                                np.asarray(model_d.apply(params, b, t)),
                                atol=1e-4)
+
+
+def test_vmem_raise_trigger_thresholds():
+    """The flagship Q5 shape must stay on the default scoped limit (the
+    blanket raise costs ~8%); D>=256 shapes must raise it even at batch
+    1 — Mosaic counts the VMEM-resident block-matrix INPUTS against the
+    scoped stack (31.4 MiB at Q8/nb=60, the round-2 OOM)."""
+    from quanonet_tpu.ops.pallas_hea import (
+        _fwd_stack_bytes, _bwd_stack_bytes, _mat_input_bytes,
+        _maybe_params2,
+    )
+    # flagship: nb=60, batch 100->104, d=32
+    assert _maybe_params2(_fwd_stack_bytes(60, 104, 32),
+                          _mat_input_bytes(60, 32)) is None
+    assert _maybe_params2(_bwd_stack_bytes(60, 104, 32),
+                          _mat_input_bytes(60, 32)) is None
+    # Q8 at init batch (8): inputs dominate -> must raise
+    assert _maybe_params2(_fwd_stack_bytes(60, 8, 256),
+                          _mat_input_bytes(60, 256)) is not None
+
+
+def test_multiseed_guard_demotes_vmem_chains():
+    from quanonet_tpu.multiseed import _guard_vmapped_engine
+    base = {'model_type': 'QuanONet', 'num_qubits': 5}
+    for eng in ('pallas', 'embed'):
+        out = _guard_vmapped_engine(dict(base, engine=eng), 5)
+        assert out['engine'] == 'dense', (eng, out['engine'])
+    # fused passes through (it vmaps cleanly), as does n_seeds == 1
+    out = _guard_vmapped_engine(dict(base, engine='fused'), 5)
+    assert out['engine'] == 'fused'
+    out = _guard_vmapped_engine(dict(base, engine='pallas'), 1)
+    assert out['engine'] == 'pallas'
+    # auto at large n resolves to fused -> no demotion
+    out = _guard_vmapped_engine(
+        dict(base, engine='auto', num_qubits=10), 5)
+    assert out.get('engine', 'auto') == 'auto'
