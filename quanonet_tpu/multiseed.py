@@ -59,6 +59,41 @@ def _guard_vmapped_engine(config, n_seeds):
     return config
 
 
+MAX_VMAP_SEEDS_LARGE_N = 2   # vmapping the fused engine across >2 seeds
+#                              at Q>=10 blows up the batcher rewrite: the
+#                              5-seed Q10 program crashed the TPU worker
+#                              outright (round 2); 2 seeds compiles in
+#                              ~10 min, 1 seed in ~4.
+
+
+def _needs_sequential_seeds(config, n_seeds):
+    if config['model_type'] not in QUANTUM_MODELS:
+        return False
+    from quanonet_tpu.ops.hea import resolve_engine
+    engine = resolve_engine(config.get('engine', 'auto'),
+                            config['num_qubits'])
+    return (engine == 'fused' and config['num_qubits'] >= 10
+            and n_seeds > MAX_VMAP_SEEDS_LARGE_N)
+
+
+def _train_seeds_sequential(config, seeds):
+    """Reference semantics exactly: one training run per seed (the
+    reference launches one OS process per seed).  Used where the vmapped
+    program is compiler-hostile (large-n fused engine, see
+    MAX_VMAP_SEEDS_LARGE_N)."""
+    from quanonet_tpu.solver import Solver
+    out = {}
+    for s in seeds:
+        cfg_s = dict(config)
+        cfg_s['seed'] = s
+        cfg_s.pop('multi_seed', None)
+        set_random_seed(s)
+        solver = Solver(cfg_s)
+        history = solver.train()
+        out[s] = solver.evaluate(history)
+    return out
+
+
 def train_multi_seed(config):
     """Train len(config['multi_seed']) seeds as one vmapped program.
     Returns {seed: metrics}."""
@@ -66,6 +101,11 @@ def train_multi_seed(config):
     seeds = list(config['multi_seed'])
     n_seeds = len(seeds)
     prefix = config.get('prefix') or "outputs"
+    if _needs_sequential_seeds(config, n_seeds):
+        print(f"[multi-seed] Q{config['num_qubits']} fused engine: "
+              f"vmapping {n_seeds} seeds is compiler-hostile; training "
+              f"seeds sequentially (reference per-process semantics)")
+        return _train_seeds_sequential(config, seeds)
 
     # per-seed experiment dirs; completed seeds are dropped from the
     # vmapped batch (per-seed resume, matching the reference's
