@@ -59,11 +59,11 @@ def _guard_vmapped_engine(config, n_seeds):
     return config
 
 
-MAX_VMAP_SEEDS_LARGE_N = 2   # vmapping the fused engine across >2 seeds
-#                              at Q>=10 blows up the batcher rewrite: the
-#                              5-seed Q10 program crashed the TPU worker
-#                              outright (round 2); 2 seeds compiles in
-#                              ~10 min, 1 seed in ~4.
+MAX_VMAP_SEEDS_LARGE_N = 1   # NEVER vmap the fused engine across seeds
+#                              at Q>=10: the 5-seed Q10 program crashed
+#                              the TPU worker outright, and so did a
+#                              2-seed program on a 50-block net (round
+#                              2) — seeds run sequentially there.
 
 
 def _needs_sequential_seeds(config, n_seeds):
