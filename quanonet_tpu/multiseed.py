@@ -60,10 +60,11 @@ def _guard_vmapped_engine(config, n_seeds):
 
 
 MAX_VMAP_SEEDS_LARGE_N = 1   # NEVER vmap the fused engine across seeds
-#                              at Q>=10: the 5-seed Q10 program crashed
-#                              the TPU worker outright, and so did a
-#                              2-seed program on a 50-block net (round
-#                              2) — seeds run sequentially there.
+#                              at Q>=8: vmapped programs crashed the TPU
+#                              worker at Q10 (5 seeds, and 2 seeds on a
+#                              50-block net) AND at Q8 (5 seeds,
+#                              40-block net) — seeds run sequentially.
+FUSED_SEQ_MIN_QUBITS = 8
 
 
 def _needs_sequential_seeds(config, n_seeds):
@@ -72,7 +73,8 @@ def _needs_sequential_seeds(config, n_seeds):
     from quanonet_tpu.ops.hea import resolve_engine
     engine = resolve_engine(config.get('engine', 'auto'),
                             config['num_qubits'])
-    return (engine == 'fused' and config['num_qubits'] >= 10
+    return (engine == 'fused'
+            and config['num_qubits'] >= FUSED_SEQ_MIN_QUBITS
             and n_seeds > MAX_VMAP_SEEDS_LARGE_N)
 
 
