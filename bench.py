@@ -11,16 +11,29 @@ ODE net (Net20-2-10-2, 30 blocks); the Advection net benched here
 the denominator UNDERSTATES the speedup — conservative in the
 reference's favour.
 
+Quality protocol (round 3): the quality number is the rel-L2 of the
+BEST-epoch parameters (tracked on device inside the jitted epoch loop,
+exactly as quanonet_tpu/solver.py does and as the reference's solver
+does, solver_ms.py:254-263) — round 2 evaluated final-epoch params,
+which is both stricter than the protocol it was compared against and
+noisier.  The full training regime is repeated --runs times
+back-to-back (identical program, data, and PRNG keys) and the JSON
+reports the per-run rel-L2 list plus mean/min/max, so run-to-run TPU
+nondeterminism (bf16 matmul reductions) is quantified rather than
+sampled once.  The headline "rel_l2" field is the WORST (max) run.
+
 Methodology notes (axon TPU tunnel):
 * the first execution of a compiled program pays a large one-time
   server-side cost (~200s cold, ~15s with the persistent compilation
   cache under .jax_cache/) — excluded from the timed region;
 * exactly ONE jitted program shape is used for all epochs, so the timed
-  region never recompiles.
+  region never recompiles;
+* jax.block_until_ready is not a reliable sync on the tunnel — the
+  timed region materializes a dependent VALUE instead.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "samples/sec", "vs_baseline": N}
-Extra keys (rel_l2, epochs, platform) are informational.
+Extra keys (rel_l2, rel_l2_runs, mfu_pct, ...) are informational.
 """
 import argparse
 import json
@@ -32,10 +45,36 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 2083.0
 REPO = os.path.dirname(os.path.abspath(__file__))
+REFERENCE_ANCHOR_REL_L2 = 0.1697   # shipped Advection ckpt on regenerated
+#                                    data (docs/BENCHMARKS.md)
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def flops_per_sample(engine, n_qubits, n_blocks):
+    """Model-FLOP cost per sample for one train step (fwd+bwd), by engine.
+
+    dense / pallas (Karatsuba split-real chain): per block the forward is
+    one complex (1,D)x(D,D) matmul = 3 real matmuls = 6D^2 FLOPs; the
+    backward adds the mbar and sbar Karatsuba pairs = 12D^2.  Total
+    18*D^2 per block.
+
+    embed (real-embedding chain): forward is ONE real (1,2d)x(2d,2d)
+    matmul = 2*(2d)^2 = 8D^2 FLOPs; backward is ebar = s^T g and
+    sbar = g E^T, 8D^2 each.  Total 24*D^2 per block.
+
+    fused / gates apply kron-factored operators (no per-block D x D
+    matmul), so this dense-matmul model does not describe them; MFU is
+    reported as null rather than wrong.
+    """
+    D = 2 ** n_qubits
+    if engine in ('dense', 'pallas'):
+        return 18 * D * D * n_blocks
+    if engine == 'embed':
+        return 24 * D * D * n_blocks
+    return None
 
 
 def main():
@@ -44,8 +83,12 @@ def main():
                     help='fewer epochs / smaller dataset')
     ap.add_argument('--cpu', action='store_true', help='force CPU backend')
     ap.add_argument('--engine', default='auto',
-                    choices=['auto', 'dense', 'gates', 'fused', 'pallas', 'embed'])
+                    choices=['auto', 'dense', 'gates', 'fused', 'pallas',
+                             'embed'])
     ap.add_argument('--epochs', type=int, default=None)
+    ap.add_argument('--runs', type=int, default=None,
+                    help='full training repeats for the rel-L2 spread '
+                         '(default 3, 1 with --quick)')
     args = ap.parse_args()
 
     import jax
@@ -60,6 +103,8 @@ def main():
     sys.path.insert(0, REPO)
     from quanonet_tpu.data.manager import DataManager
     from quanonet_tpu.models import QuanONet
+    from quanonet_tpu.ops.hea import resolve_engine
+    from quanonet_tpu.solver import make_run_segment, make_train_epoch
 
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()}")
@@ -68,6 +113,7 @@ def main():
     # 1000 train fns x 100 pts/fn, bs=100, lr=1e-4, 100 epochs, Q5 40-2-20-2.
     num_train = 200 if args.quick else 1000
     epochs = args.epochs or (10 if args.quick else 100)
+    runs = args.runs or (1 if args.quick else 3)
     cfg = dict(operator='Advection', model_type='QuanONet',
                num_train=num_train, num_test=100,
                num_points=100, num_points_0=100,
@@ -85,98 +131,123 @@ def main():
     branch = jnp.asarray(data['train_branch_input'])
     trunk = jnp.asarray(data['train_trunk_input'])
     target = jnp.asarray(data['train_output'])
+    inputs = (branch, trunk)
     n = target.shape[0]
     batch_size = 100
-    num_batches = n // batch_size
 
-    params = model.init(jax.random.PRNGKey(0), branch[:1], trunk[:1])
+    init_params = model.init(jax.random.PRNGKey(0), branch[:1], trunk[:1])
     optimizer = optax.adam(1e-4)
-    opt_state = optimizer.init(params)
 
-    def batch_loss(p, b, t, y):
-        pred = model.apply(p, b, t)
-        return jnp.mean((pred - y) ** 2)
+    # the solver's own primitives: jitted multi-epoch segments with
+    # on-device best-param tracking (best-EPOCH eval, like the reference)
+    train_epoch = make_train_epoch(model.apply, optimizer, n, batch_size,
+                                   per_sample=1)
+    run_segment = make_run_segment(train_epoch)
 
-    @jax.jit
-    def one_epoch(params, opt_state, key, branch, trunk, target):
-        perm = jax.random.permutation(key, n)[:num_batches * batch_size]
-        idx = perm.reshape(num_batches, batch_size)
+    seg = 5 if args.quick else 10
+    assert epochs % seg == 0, "one program shape: seg must divide epochs"
+    n_segs = epochs // seg
+    all_keys = jax.random.split(jax.random.PRNGKey(1), epochs)
+    seg_keys = [all_keys[i * seg:(i + 1) * seg] for i in range(n_segs)]
 
-        def step(c, bi):
-            params, opt_state = c
-            loss, grads = jax.value_and_grad(batch_loss)(
-                params, branch[bi], trunk[bi], target[bi])
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state), loss
-
-        (params, opt_state), losses = jax.lax.scan(step, (params, opt_state),
-                                                   idx)
-        return params, opt_state, jnp.mean(losses)
-
-    keys = jax.random.split(jax.random.PRNGKey(1), epochs)
-
-    # warm-up epoch: compilation + one-time program-load cost
-    t0 = time.time()
-    params, opt_state, l0 = one_epoch(params, opt_state, keys[0],
-                                      branch, trunk, target)
-    l0 = float(l0)   # NB: block_until_ready does not reliably block on the
-    #     tunneled TPU backend; materialize a dependent VALUE to sync
-    log(f"compile+first epoch: {time.time() - t0:.1f}s (loss {l0:.4f})")
-
-    # timed region: same program shape, zero recompiles
-    timed_epochs = min(epochs - 1, 3 if args.quick else 30)
-    t0 = time.time()
-    for e in range(1, 1 + timed_epochs):
-        params, opt_state, loss = one_epoch(params, opt_state, keys[e],
-                                            branch, trunk, target)
-    loss_v = float(loss)   # value sync (see warmup note)
-    dt = time.time() - t0
-    sps = timed_epochs * n / dt
-    log(f"timed: {timed_epochs} epochs x {n} samples in {dt:.2f}s "
-        f"=> {sps:,.0f} samples/sec (loss {loss_v:.4f})")
-
-    # Model-FLOP accounting (batch-dependent matmul work only; excludes the
-    # batch-independent block-unitary compilation, so this is a lower
-    # bound).  Per sample per block: forward Karatsuba complex matmul
-    # (1,D)x(D,D) = 3 real matmuls = 6D² FLOPs; backward adds the mbar and
-    # sbar Karatsuba pairs = 12D².  18·D²·n_blocks per sample.
-    D = 2 ** 5
-    n_blocks = 40 + 20
-    flops_per_sample = 18 * D * D * n_blocks
-    model_tflops = sps * flops_per_sample / 1e12
-    V5E_PEAK_BF16 = 197e12
-    mfu = model_tflops * 1e12 / V5E_PEAK_BF16
-    log(f"model FLOPs: {flops_per_sample / 1e6:.2f} MFLOP/sample "
-        f"=> {model_tflops:.3f} TFLOP/s, MFU {mfu * 100:.3f}% "
-        f"(v5e bf16 peak {V5E_PEAK_BF16 / 1e12:.0f} TFLOP/s)")
-
-    # finish the full regime so the rel-L2 is from a fully trained model
-    for e in range(1 + timed_epochs, epochs):
-        params, opt_state, loss = one_epoch(params, opt_state, keys[e],
-                                            branch, trunk, target)
-    float(loss)
-
+    # eval setup (forward-only, large chunks)
     tb = jnp.asarray(data['test_branch_input'])
     tt = jnp.asarray(data['test_trunk_input'])
     ty = np.asarray(data['test_output'])
-    fwd = jax.jit(lambda b, t: model.apply(params, b, t))
-    preds = np.concatenate([np.asarray(fwd(tb[s:s + 5000], tt[s:s + 5000]))
-                            for s in range(0, tb.shape[0], 5000)])
-    rel = float(np.linalg.norm(preds - ty) / (np.linalg.norm(ty) + 1e-8))
-    log(f"final test rel_l2 after {epochs} epochs: {rel:.4f}")
+    fwd = jax.jit(lambda p, b, t: model.apply(p, b, t))
+
+    def eval_rel_l2(params):
+        preds = np.concatenate([
+            np.asarray(fwd(params, tb[s:s + 20000], tt[s:s + 20000]))
+            for s in range(0, tb.shape[0], 20000)])
+        return float(np.linalg.norm(preds - ty)
+                     / (np.linalg.norm(ty) + 1e-8))
+
+    sps = None
+    rels = []
+    for run in range(runs):
+        params = init_params
+        opt_state = optimizer.init(params)
+        best_loss = jnp.asarray(np.inf, jnp.float32)
+        best_params = params
+
+        # warm-up segment (run 0 pays compile + program-load here)
+        t0 = time.time()
+        params, opt_state, best_loss, best_params, hist = run_segment(
+            params, opt_state, best_loss, best_params, seg_keys[0],
+            inputs, target)
+        l0 = float(best_loss)   # value sync (block_until_ready unreliable)
+        if run == 0:
+            log(f"compile+first segment ({seg} epochs): "
+                f"{time.time() - t0:.1f}s (best loss {l0:.4f})")
+
+        # timed region (run 0 only): same program shape, zero recompiles
+        timed_segs = max(1, min(n_segs - 1, 3))
+        t0 = time.time()
+        for i in range(1, 1 + timed_segs):
+            params, opt_state, best_loss, best_params, hist = run_segment(
+                params, opt_state, best_loss, best_params, seg_keys[i],
+                inputs, target)
+        _sync = float(best_loss)
+        dt = time.time() - t0
+        if run == 0:
+            sps = timed_segs * seg * n / dt
+            log(f"timed: {timed_segs * seg} epochs x {n} samples in "
+                f"{dt:.2f}s => {sps:,.0f} samples/sec")
+
+        # finish the regime
+        for i in range(1 + timed_segs, n_segs):
+            params, opt_state, best_loss, best_params, hist = run_segment(
+                params, opt_state, best_loss, best_params, seg_keys[i],
+                inputs, target)
+        bl = float(best_loss)
+        rel = eval_rel_l2(best_params)
+        rels.append(rel)
+        log(f"run {run}: best-epoch train MSE {bl:.6f} -> "
+            f"test rel_l2 {rel:.4f}")
+
+    # per-engine model-FLOP accounting (batch-dependent matmul work only;
+    # excludes the batch-independent block-unitary compilation, so this
+    # is a lower bound)
+    engine = resolve_engine(args.engine, 5)
+    fps = flops_per_sample(engine, 5, n_blocks=40 + 20)
+    V5E_PEAK_BF16 = 197e12
+    if fps is not None:
+        model_tflops = sps * fps / 1e12
+        mfu = model_tflops / (V5E_PEAK_BF16 / 1e12)
+        log(f"model FLOPs ({engine}): {fps / 1e6:.2f} MFLOP/sample "
+            f"=> {model_tflops:.3f} TFLOP/s, MFU {mfu * 100:.3f}% "
+            f"(v5e bf16 peak {V5E_PEAK_BF16 / 1e12:.0f} TFLOP/s)")
+    else:
+        model_tflops = mfu = None
+        log(f"model FLOPs: no dense-matmul model for engine '{engine}'; "
+            f"MFU not reported")
+
+    rel_worst = max(rels)
+    log(f"rel_l2 over {runs} run(s): mean {np.mean(rels):.4f} "
+        f"min {min(rels):.4f} max {rel_worst:.4f} "
+        f"(reference anchor {REFERENCE_ANCHOR_REL_L2})")
 
     print(json.dumps({
         "metric": "quanonet_q5_advection_train_samples_per_sec_per_chip",
         "value": round(sps, 1),
         "unit": "samples/sec",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
-        "rel_l2": round(rel, 4),
+        "rel_l2": round(rel_worst, 4),
+        "rel_l2_runs": [round(r, 4) for r in rels],
+        "rel_l2_mean": round(float(np.mean(rels)), 4),
+        "rel_l2_min": round(min(rels), 4),
+        "rel_l2_max": round(rel_worst, 4),
+        "eval_protocol": "best-epoch",
+        "reference_anchor_rel_l2": REFERENCE_ANCHOR_REL_L2,
         "epochs": epochs,
+        "runs": runs,
         "engine": args.engine,
+        "resolved_engine": engine,
         "platform": platform,
-        "model_tflops_per_sec": round(model_tflops, 4),
-        "mfu_pct": round(mfu * 100, 4),
+        "model_tflops_per_sec": (round(model_tflops, 4)
+                                 if model_tflops is not None else None),
+        "mfu_pct": round(mfu * 100, 4) if mfu is not None else None,
     }))
 
 

@@ -30,6 +30,32 @@ _MODEL_RE = re.compile(r'_(QuanONet|HEAQNN|DeepONet|FNN|FNO)_')
 _QB_RE = re.compile(r'_(TQ|Qiskit|PL|torchquantum|qiskit|pennylane)_')
 _QB_MAP = {'TQ': 'torchquantum', 'Qiskit': 'qiskit', 'PL': 'pennylane'}
 _DATA_RE = re.compile(r'_(\d+)x(\d+)_Seed')
+# Hamiltonian-ablation suffixes written by logger.get_experiment_id
+# (logger.py:81-90); without these a hamiltonian-study checkpoint loaded
+# via infer silently got the default ham_bound=[-5,5].
+_PAULI_RE = re.compile(r'_Pauli([XYZ])')
+_DIAG_RE = re.compile(r'_Diag([^_]+)')
+_HAM_RE = re.compile(r'_Ham([^_]+)')
+_NUM_RE = re.compile(r'-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?')
+
+
+def _parse_joined_floats(s):
+    """Parse logger's ``"-".join(map(str, values))`` encoding, where a
+    value may itself be negative: ``[1, -1]`` encodes as ``"1--1"`` and
+    ``[-3, 3]`` as ``"-3-3"``.  Grammar: num ('-' num)*, num = '-'? digits.
+    Returns None if the string does not parse."""
+    vals, i = [], 0
+    while i < len(s):
+        m = _NUM_RE.match(s, i)
+        if not m:
+            return None
+        vals.append(float(m.group(0)))
+        i = m.end()
+        if i < len(s):
+            if s[i] != '-':
+                return None
+            i += 1
+    return vals or None
 
 _DEFAULTS = {
     'model_type': 'QuanONet',
@@ -42,6 +68,7 @@ _DEFAULTS = {
     'if_trainable_freq': True,
     'ham_bound': [-5.0, 5.0],
     'ham_diag': None,
+    'ham_pauli': 'Z',
     'quantum_backend': 'jax',
     'batch_size': 128,
 }
@@ -74,6 +101,20 @@ def _parse_path(ckpt_path: str) -> dict:
     m = _QB_RE.search(name)
     if m:
         cfg['quantum_backend'] = _QB_MAP.get(m.group(1), m.group(1))
+    m = _PAULI_RE.search(name)
+    if m:
+        cfg['ham_pauli'] = m.group(1)
+    m = _DIAG_RE.search(name)
+    if m:
+        diag = _parse_joined_floats(m.group(1))
+        if diag:
+            cfg['ham_diag'] = diag
+    else:
+        m = _HAM_RE.search(name)
+        if m:
+            bound = _parse_joined_floats(m.group(1))
+            if bound and len(bound) == 2:
+                cfg['ham_bound'] = bound
     return cfg
 
 
@@ -96,7 +137,8 @@ def _build_model(cfg: dict, branch_in: int, trunk_in: int):
                   if_trainable_freq=bool(cfg['if_trainable_freq']),
                   ham_bound=tuple(cfg['ham_bound']),
                   ham_diag=(tuple(cfg['ham_diag'])
-                            if cfg.get('ham_diag') is not None else None))
+                            if cfg.get('ham_diag') is not None else None),
+                  ham_pauli=cfg.get('ham_pauli', 'Z'))
         if mt == 'QuanONet':
             return QuanONet(branch_input_size=branch_in,
                             trunk_input_size=trunk_in, **kw)
@@ -141,12 +183,20 @@ def load_model(ckpt_path: str, branch_in: int, trunk_in: int = 0,
 
 
 def predict(model, params, branch_input, trunk_input=None, cfg=None,
-            batch_size=128):
+            batch_size=None):
     """Batched inference (reference infer.py:235-291 signature policy:
     QuanONet/DeepONet take (branch, trunk); FNN takes the concatenation;
-    HEAQNN takes branch only; FNO takes the grid tensor)."""
+    HEAQNN takes branch only; FNO takes the grid tensor).
+
+    batch_size defaults to 20000: inference is a pure forward pass, and
+    on the tunneled TPU backend each program dispatch costs ~5 ms RPC
+    plus a one-time compile per shape — the reference's 128-sample
+    batches would turn a 1-minute job into ~15 minutes."""
     import jax
     import jax.numpy as jnp
+
+    if batch_size is None:
+        batch_size = 20000
 
     model_type = (cfg or {}).get('model_type', 'QuanONet')
     has_trunk_tuple = trunk_input is not None and \
@@ -195,7 +245,9 @@ def _parser():
     p.add_argument('--num_points_0', type=int, default=None)
     p.add_argument('--output', default=None,
                    help='Save predictions to .npy or .npz')
-    p.add_argument('--batch_size', type=int, default=128)
+    p.add_argument('--batch_size', type=int, default=None,
+                   help='Inference batch (default 20000; forward-only, '
+                        'large batches amortize per-dispatch RPC cost)')
     p.add_argument('--model_type', default=None)
     p.add_argument('--num_qubits', type=int, default=None)
     p.add_argument('--net_size', type=int, nargs='+', default=None)
@@ -206,6 +258,10 @@ def _parser():
 
 def main(argv=None):
     args = _parser().parse_args(argv)
+    # persistent XLA compilation cache: cold compiles on the TPU tunnel
+    # cost ~200s per program shape, ~15s cached
+    from quanonet_tpu.solver import enable_compilation_cache
+    enable_compilation_cache()
 
     y_true = None
     if args.data:

@@ -84,11 +84,23 @@ def _train_seeds_sequential(config, seeds):
     program is compiler-hostile (large-n fused engine, see
     MAX_VMAP_SEEDS_LARGE_N)."""
     from quanonet_tpu.solver import Solver
+    prefix = config.get('prefix') or "outputs"
     out = {}
     for s in seeds:
         cfg_s = dict(config)
         cfg_s['seed'] = s
         cfg_s.pop('multi_seed', None)
+        # Skip completed seeds HERE: Solver.train() handles resume with
+        # sys.exit(0) (the reference's per-process semantics), which would
+        # terminate the whole loop after the first completed seed and
+        # silently skip the rest.
+        lg = ExperimentLogger(cfg_s, base_output_dir=prefix)
+        already_done = lg.is_completed()
+        lg.close()
+        if already_done:
+            print(f"⏩ [Resume] Seed {s} already completed; skipping.")
+            out[s] = None
+            continue
         set_random_seed(s)
         solver = Solver(cfg_s)
         history = solver.train()

@@ -47,11 +47,16 @@ from quanonet_tpu.ops.pallas_hea import (
 
 
 def _embed_workset_bytes(nb, batch, d):
-    """fwd+bwd resident bytes: E stack, packed phases, saved states/u."""
+    """fwd+bwd resident bytes with Mosaic (8,128) tile padding: E and the
+    backward's ebar output pad their minor axis to 128 lanes (2d=64 pads
+    to 128 at Q5); tbar mirrors t.  Counting the backward OUTPUTS matches
+    _chain_workset_bytes — omitting them understated the working set near
+    the VMEM_BUDGET dense-fallback boundary."""
     n8 = -(-batch // 8) * 8
-    d2 = -(-2 * d // 128) * 128
-    return 4 * (nb * (2 * d) * (2 * d)          # E
-                + nb * n8 * d2                  # t (phases)
+    d2s = -(-2 * d // 8) * 8        # sublane pad of the 2d axis
+    d2 = -(-2 * d // 128) * 128     # lane pad of the 2d axis
+    return 4 * (2 * nb * d2s * d2               # E + ebar (bwd output)
+                + 2 * nb * n8 * d2              # t (phases) + tbar output
                 + 2 * nb * n8 * d2              # saved s, u
                 + 3 * n8 * d2)                  # live temps
 

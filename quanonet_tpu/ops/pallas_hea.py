@@ -63,11 +63,17 @@ def _maybe_params(stack_bytes):
 
 
 def _maybe_params2(stack_bytes, input_bytes):
-    """Raise when either the output stack or the VMEM inputs approach
-    the default limit.  The flagship shape (D=32: inputs ~5 MiB, stack
-    ~14 MiB) must stay UNRAISED — the blanket raise costs ~8% there —
-    while D≥256 shapes (inputs ≥31 MiB at any batch) must raise."""
+    """Raise when the output stack, the VMEM inputs, or their SUM
+    approaches the default limit (Mosaic charges VMEM-resident inputs and
+    the scoped stack against the same 16 MiB pool).  The flagship shape
+    (D=32: inputs ~2 MiB, stack ~14 MiB, sum ~16.0 MB) must stay
+    UNRAISED — it is measured to fit and the blanket raise costs ~8%
+    there — so the combined trigger sits at 1.10x the default, catching
+    mid-size shapes like Q7/d=128 nb=60 batch=100 (~22 MB combined) that
+    trip neither individual threshold."""
     if input_bytes > int(0.75 * DEFAULT_SCOPED_LIMIT):
+        return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+    if stack_bytes + input_bytes > int(1.10 * DEFAULT_SCOPED_LIMIT):
         return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
     return _maybe_params(stack_bytes)
 

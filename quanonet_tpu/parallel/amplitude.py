@@ -91,11 +91,6 @@ def _rz_local(sr, si, q, half, local_n):
     return sr, si
 
 
-def _local_bits(local_n):
-    k = np.arange(2 ** local_n)
-    return k
-
-
 def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False):
     """Build a jitted sharded expectation fn:
     f(weights, x, diag) -> (batch, 1).

@@ -56,7 +56,13 @@ def shard_seed_axis(mesh, tree):
 
 
 def make_dp_train_step(model_apply, optimizer, mesh, multi_seed=False):
-    """Build a jitted data-parallel training step.
+    """Build a jitted single-batch data-parallel training step.
+
+    DRYRUN/TEST-ONLY: this minimal step exists for the driver's
+    ``dryrun_multichip`` hook and the mesh unit tests.  Production
+    data-parallel training uses the full epoch-scan path in
+    ``parallel/dp_solver.make_dp_run_segment`` (same sharding semantics,
+    plus masked ragged batches and on-device best-param tracking).
 
     The returned step(params, opt_state, inputs, targets) -> (params,
     opt_state, loss) runs with the batch sharded over 'data' and params

@@ -56,12 +56,21 @@ def enable_compilation_cache(path=None):
 
 
 def _segment_size(epochs, cap=64):
-    """Largest divisor of ``epochs`` <= cap, so training uses EXACTLY one
-    compiled program shape (recompiles are expensive on the TPU tunnel)."""
-    for s in range(min(cap, epochs), 0, -1):
+    """Segment length for the multi-epoch jitted loop, minimizing compiled
+    program shapes (recompiles are expensive on the TPU tunnel).
+
+    Prefers the largest divisor of ``epochs`` <= cap (exactly ONE program
+    shape).  When the best divisor is tiny (e.g. prime ``epochs``: the
+    only divisor <= 64 of 997 is 1, which would dispatch 997 programs over
+    a ~5 ms-RPC tunnel), fall back to ``cap`` with a ragged tail — TWO
+    program shapes, ~epochs/cap dispatches."""
+    hi = min(cap, epochs)
+    for s in range(hi, 0, -1):
         if epochs % s == 0:
-            return s
-    return 1
+            if s >= (hi + 1) // 2:
+                return s
+            break
+    return hi
 
 
 def build_model(config, data):

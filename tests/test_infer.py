@@ -102,3 +102,80 @@ def test_evaluate_metrics():
     y = np.array([[1.0], [2.0], [3.0]])
     m = evaluate(y, y)
     assert m['rel_l2'] == 0.0 and m['mse'] == 0.0 and m['mae'] == 0.0
+
+
+# ── hamiltonian-ablation suffix round-trip (logger.py:81-90) ─────────────────
+
+def test_parse_joined_floats():
+    from quanonet_tpu.infer import _parse_joined_floats
+    assert _parse_joined_floats('-9.0-9.0') == [-9.0, 9.0]
+    assert _parse_joined_floats('3-5') == [3.0, 5.0]
+    assert _parse_joined_floats('-5.0--2.5-2.5-5.0') == [-5.0, -2.5, 2.5, 5.0]
+    assert _parse_joined_floats('1--1--1-1') == [1.0, -1.0, -1.0, 1.0]
+    assert _parse_joined_floats('bogus') is None
+
+
+def test_parse_path_ablation_suffixes():
+    """_Pauli / _Ham / _Diag suffixes written by get_experiment_id parse
+    back, so hamiltonian-study checkpoints round-trip through inference
+    (they previously fell back to ham_bound=[-5,5] silently)."""
+    p = _parse_path('/x/Antideriv_QuanONet_Net20-2-10-2_Q5_TF_S0.01'
+                    '_PauliX_1000x100_Seed1/best_model.npz')
+    assert p['ham_pauli'] == 'X'
+    p = _parse_path('/x/Antideriv_QuanONet_Net20-2-10-2_Q5_TF_S0.01'
+                    '_Ham-9.0-9.0_1000x100_Seed3/best_model.npz')
+    assert p['ham_bound'] == [-9.0, 9.0]
+    p = _parse_path('/x/Antideriv_QuanONet_Net50-2-50-2_Q2_TF_S0.01'
+                    '_Diag-5.0--2.5-2.5-5.0_1000x100_Seed1/best_model.npz')
+    assert p['ham_diag'] == [-5.0, -2.5, 2.5, 5.0]
+    assert 'ham_bound' not in p   # Diag takes precedence
+
+
+def test_ablation_id_roundtrip():
+    for extra in ({'ham_pauli': 'Y'},
+                  {'ham_bound': [-3.0, 3.0]},
+                  {'ham_diag': [5.0, 0.0, 0.0, -5.0]}):
+        cfg = dict(operator='Antideriv', model_type='QuanONet',
+                   net_size=[20, 2, 10, 2], num_qubits=5,
+                   if_trainable_freq='true', scale_coeff=0.01,
+                   num_train=1000, num_points=100, seed=0, **extra)
+        exp_id = get_experiment_id(cfg)
+        parsed = _parse_path(f'/x/{exp_id}/best_model.npz')
+        for k, v in extra.items():
+            assert parsed[k] == v, (exp_id, k, parsed)
+
+
+HAM_CKPT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'hamiltonian_reproduction/Antideriv/'
+    'Antideriv_QuanONet_Net20-2-10-2_Q5_TF_S0.01_Ham-9.0-9.0_1000x100_Seed3/'
+    'best_model.npz')
+HAM_DATA = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    'data/Antideriv/Antideriv_1000_1000_100_100_10_100.npz')
+
+
+@pytest.mark.skipif(not (os.path.exists(HAM_CKPT) and os.path.exists(HAM_DATA)),
+                    reason="hamiltonian-study artifacts not present")
+def test_hamiltonian_ckpt_golden_roundtrip():
+    """A hamiltonian-study (_Ham-9.0-9.0) checkpoint loaded purely through
+    the public inference API reproduces its recorded metric.json rel-L2 —
+    i.e. the parsed ham_bound actually reaches the model."""
+    import json
+    from quanonet_tpu.infer import load_model, predict
+    from quanonet_tpu.metrics import rel_l2
+
+    with open(os.path.join(os.path.dirname(HAM_CKPT), 'metric.json')) as f:
+        expected = json.load(f)['metrics']['rel_l2']
+    d = np.load(HAM_DATA)
+    model, params, cfg = load_model(HAM_CKPT, branch_in=100, trunk_in=1,
+                                    scale_coeff=0.01)
+    assert cfg['ham_bound'] == [-9.0, 9.0]
+    preds = predict(model, params, d['test_branch_input'],
+                    d['test_trunk_input'], cfg=cfg, batch_size=20000)
+    got = rel_l2(d['test_output'], preds)
+    # metric.json was produced on TPU (bf16 default matmul precision in
+    # eval); this CPU f32 re-run shifts rel-L2 ~0.01.  The failure mode
+    # guarded against (ham_bound silently defaulting to [-5,5]) scores
+    # 0.447 — orders of magnitude outside this tolerance.
+    assert abs(got - expected) < 0.015, (got, expected)

@@ -108,3 +108,25 @@ def test_multiseed_fresh_data(tmp_path):
     rels = [metrics[s]['rel_l2'] for s in (0, 1)]
     assert all(np.isfinite(r) for r in rels)
     assert rels[0] != rels[1]
+
+
+def test_sequential_seeds_skip_completed(tmp_path):
+    """_train_seeds_sequential must skip completed seeds ITSELF: relying
+    on Solver.train()'s resume path would sys.exit(0) at the first
+    completed seed, silently dropping the rest (advisor finding r2)."""
+    from quanonet_tpu.multiseed import _train_seeds_sequential
+    cfg = dict(operator='Antideriv', model_type='QuanONet',
+               num_train=12, num_test=6, num_points=30, num_points_0=6,
+               train_sample_num=4, test_sample_num=5,
+               batch_size=48, num_epochs=4, learning_rate=0.01,
+               num_qubits=2, net_size=[1, 1, 1, 1],
+               scale_coeff=0.01, if_trainable_freq='true', prefix='outputs')
+    # complete seed 0 only
+    out1 = _train_seeds_sequential(dict(cfg), [0])
+    assert out1[0] is not None
+    # resume over [0, 1]: seed 0 skips, seed 1 trains, NO SystemExit
+    out = _train_seeds_sequential(dict(cfg), [0, 1])
+    assert out[0] is None
+    assert out[1] is not None and np.isfinite(out[1]['rel_l2'])
+    base = 'outputs/Antideriv/Antideriv_QuanONet_Net1-1-1-1_Q2_TF_S0.01_12x30'
+    assert os.path.exists(f'{base}_Seed1/metric.json')

@@ -131,3 +131,18 @@ def test_build_optimizer_schedules():
         assert isinstance(opt, optax.GradientTransformation)
     opt = build_optimizer(dict(learning_rate=0.1, optimizer='sgd'), 10)
     assert isinstance(opt, optax.GradientTransformation)
+
+
+def test_segment_size():
+    from quanonet_tpu.solver import _segment_size
+    # divisor path: exactly one compiled shape
+    assert _segment_size(100) == 50
+    assert _segment_size(1000) == 50
+    assert _segment_size(64) == 64
+    assert _segment_size(4) == 4
+    # prime / tiny-divisor path: cap + ragged tail (2 shapes, ~n/cap
+    # dispatches) instead of degenerate per-epoch dispatch
+    assert _segment_size(997) == 64
+    assert _segment_size(127) == 64
+    # a good divisor just under cap still wins over the ragged split
+    assert _segment_size(122) == 61
