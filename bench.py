@@ -11,16 +11,27 @@ ODE net (Net20-2-10-2, 30 blocks); the Advection net benched here
 the denominator UNDERSTATES the speedup — conservative in the
 reference's favour.
 
-Quality protocol (round 3): the quality number is the rel-L2 of the
-BEST-epoch parameters (tracked on device inside the jitted epoch loop,
-exactly as quanonet_tpu/solver.py does and as the reference's solver
-does, solver_ms.py:254-263) — round 2 evaluated final-epoch params,
-which is both stricter than the protocol it was compared against and
-noisier.  The full training regime is repeated --runs times
-back-to-back (identical program, data, and PRNG keys) and the JSON
-reports the per-run rel-L2 list plus mean/min/max, so run-to-run TPU
-nondeterminism (bf16 matmul reductions) is quantified rather than
-sampled once.  The headline "rel_l2" field is the WORST (max) run.
+Quality protocol (round 3):
+* the quality number is the rel-L2 of the BEST-epoch parameters
+  (tracked on device inside the jitted epoch loop, exactly as
+  quanonet_tpu/solver.py does and as the reference's solver does,
+  solver_ms.py:254-263) — round 2 evaluated final-epoch params, which
+  is both stricter than the protocol it was compared against and
+  noisier;
+* the test set is the reference PDE regime's own (1000 test fns x 1000
+  sampled points, reproduce_benchmarks1.sh:33) — the same data the
+  sweep results and the anchor checkpoint were scored on;
+* the ANCHOR is measured in-run: the reference's shipped Advection
+  checkpoint (pretrained_weights/) is evaluated on the identical test
+  set by the identical eval code, so "beats the reference" never
+  depends on a stale hard-coded number;
+* the full regime is trained --runs times, run r using the Solver's
+  per-seed key protocol with seed=r (init and shuffle keys from
+  PRNGKey(r)).  The JSON reports the per-run rel-L2 list plus
+  mean/min/max; the headline "rel_l2" field is the WORST (max) run.
+  (Measured round 3: identical program+keys replay bit-identically on
+  this TPU — the run-to-run variance lives across seeds and across
+  XLA recompilations, not across executions.)
 
 Methodology notes (axon TPU tunnel):
 * the first execution of a compiled program pays a large one-time
@@ -45,8 +56,12 @@ import numpy as np
 
 BASELINE_SAMPLES_PER_SEC = 2083.0
 REPO = os.path.dirname(os.path.abspath(__file__))
-REFERENCE_ANCHOR_REL_L2 = 0.1697   # shipped Advection ckpt on regenerated
-#                                    data (docs/BENCHMARKS.md)
+ANCHOR_CKPT = os.path.join(
+    REPO, 'pretrained_weights/Advection',
+    'Advection_QuanONet_Net40-2-20-2_Q5_TF_S0.1_1000x100_Seed0',
+    'best_model.ckpt')
+REFERENCE_ANCHOR_REL_L2 = 0.1697   # fallback if the ckpt is absent
+#                                    (docs/BENCHMARKS.md)
 
 
 def log(*a):
@@ -109,15 +124,23 @@ def main():
     platform = jax.devices()[0].platform
     log(f"devices: {jax.devices()}")
 
-    # Reference Advection regime (scripts/reproduce_benchmarks1.sh PDE row):
-    # 1000 train fns x 100 pts/fn, bs=100, lr=1e-4, 100 epochs, Q5 40-2-20-2.
+    # Reference Advection regime (scripts/reproduce_benchmarks1.sh:33 PDE
+    # row): 1000 train fns x 100 pts/fn, bs=100, lr=1e-4, 100 epochs,
+    # Q5 40-2-20-2; test = 1000 fns x 1000 sampled points (the same set
+    # the sweep tables and the shipped anchor checkpoint are scored on).
     num_train = 200 if args.quick else 1000
     epochs = args.epochs or (10 if args.quick else 100)
     runs = args.runs or (1 if args.quick else 3)
-    cfg = dict(operator='Advection', model_type='QuanONet',
-               num_train=num_train, num_test=100,
-               num_points=100, num_points_0=100,
-               train_sample_num=100, test_sample_num=100)
+    if args.quick:
+        cfg = dict(operator='Advection', model_type='QuanONet',
+                   num_train=num_train, num_test=100,
+                   num_points=100, num_points_0=100,
+                   train_sample_num=100, test_sample_num=100)
+    else:
+        cfg = dict(operator='Advection', model_type='QuanONet',
+                   num_train=num_train, num_test=1000,
+                   num_points=100, num_points_0=100,
+                   train_sample_num=100, test_sample_num=1000)
     t0 = time.time()
     np.random.seed(0)
     data = DataManager(cfg, data_dir=os.path.join(REPO, 'data')).get_data()
@@ -135,7 +158,6 @@ def main():
     n = target.shape[0]
     batch_size = 100
 
-    init_params = model.init(jax.random.PRNGKey(0), branch[:1], trunk[:1])
     optimizer = optax.adam(1e-4)
 
     # the solver's own primitives: jitted multi-epoch segments with
@@ -147,26 +169,52 @@ def main():
     seg = 5 if args.quick else 10
     assert epochs % seg == 0, "one program shape: seg must divide epochs"
     n_segs = epochs // seg
-    all_keys = jax.random.split(jax.random.PRNGKey(1), epochs)
-    seg_keys = [all_keys[i * seg:(i + 1) * seg] for i in range(n_segs)]
 
-    # eval setup (forward-only, large chunks)
-    tb = jnp.asarray(data['test_branch_input'])
-    tt = jnp.asarray(data['test_trunk_input'])
+    # eval setup (forward-only; host-side chunking keeps the resident
+    # footprint small — the full-regime test set is 1M rows)
+    tb = np.asarray(data['test_branch_input'], np.float32)
+    tt = np.asarray(data['test_trunk_input'], np.float32)
     ty = np.asarray(data['test_output'])
     fwd = jax.jit(lambda p, b, t: model.apply(p, b, t))
+    chunk = 20000
+    pad = (-tb.shape[0]) % chunk
+    if pad:   # one compiled eval shape
+        tb = np.concatenate([tb, tb[:pad]])
+        tt = np.concatenate([tt, tt[:pad]])
 
     def eval_rel_l2(params):
         preds = np.concatenate([
-            np.asarray(fwd(params, tb[s:s + 20000], tt[s:s + 20000]))
-            for s in range(0, tb.shape[0], 20000)])
+            np.asarray(fwd(params, jnp.asarray(tb[s:s + chunk]),
+                           jnp.asarray(tt[s:s + chunk])))
+            for s in range(0, tb.shape[0], chunk)])[:ty.shape[0]]
         return float(np.linalg.norm(preds - ty)
                      / (np.linalg.norm(ty) + 1e-8))
+
+    # measure the reference anchor on the IDENTICAL test set + eval code
+    anchor_rel = None
+    if os.path.exists(ANCHOR_CKPT):
+        from quanonet_tpu.checkpoint import (
+            load_raw, quantum_params_from_raw)
+        araw = load_raw(ANCHOR_CKPT)
+        aparams = jax.tree_util.tree_map(
+            jnp.asarray,
+            quantum_params_from_raw(araw, 'QuanONet', (40, 2, 20, 2), 5,
+                                    True))
+        anchor_rel = eval_rel_l2(aparams)
+        log(f"reference shipped-ckpt anchor on this test set: "
+            f"rel_l2 {anchor_rel:.4f}")
+    anchor = anchor_rel if anchor_rel is not None \
+        else REFERENCE_ANCHOR_REL_L2
 
     sps = None
     rels = []
     for run in range(runs):
-        params = init_params
+        # the Solver's per-seed protocol (solver.py:269-272,337-339):
+        # seed=run keys both the init and the epoch shuffles
+        seed_key = jax.random.PRNGKey(run)
+        params = model.init(seed_key, branch[:1], trunk[:1])
+        all_keys = jax.random.split(seed_key, epochs)
+        seg_keys = [all_keys[i * seg:(i + 1) * seg] for i in range(n_segs)]
         opt_state = optimizer.init(params)
         best_loss = jnp.asarray(np.inf, jnp.float32)
         best_params = params
@@ -226,7 +274,8 @@ def main():
     rel_worst = max(rels)
     log(f"rel_l2 over {runs} run(s): mean {np.mean(rels):.4f} "
         f"min {min(rels):.4f} max {rel_worst:.4f} "
-        f"(reference anchor {REFERENCE_ANCHOR_REL_L2})")
+        f"(measured anchor {anchor:.4f}; "
+        f"worst-run beats anchor: {rel_worst < anchor})")
 
     print(json.dumps({
         "metric": "quanonet_q5_advection_train_samples_per_sec_per_chip",
@@ -238,8 +287,10 @@ def main():
         "rel_l2_mean": round(float(np.mean(rels)), 4),
         "rel_l2_min": round(min(rels), 4),
         "rel_l2_max": round(rel_worst, 4),
-        "eval_protocol": "best-epoch",
-        "reference_anchor_rel_l2": REFERENCE_ANCHOR_REL_L2,
+        "eval_protocol": "best-epoch, per-seed keys, worst of runs",
+        "reference_anchor_rel_l2": round(anchor, 4),
+        "anchor_measured_in_run": anchor_rel is not None,
+        "beats_anchor_all_runs": bool(rel_worst < anchor),
         "epochs": epochs,
         "runs": runs,
         "engine": args.engine,
