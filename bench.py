@@ -104,11 +104,19 @@ def main():
     ap.add_argument('--runs', type=int, default=None,
                     help='full training repeats for the rel-L2 spread '
                          '(default 3, 1 with --quick)')
+    ap.add_argument('--precision', default=None,
+                    choices=['default', 'float32', 'highest'],
+                    help='jax default_matmul_precision for the WHOLE '
+                         'program (bf16 MXU default if unset); the '
+                         'quality/throughput trade is documented in '
+                         'docs/BENCHMARKS.md')
     args = ap.parse_args()
 
     import jax
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
+    if args.precision and args.precision != 'default':
+        jax.config.update('jax_default_matmul_precision', args.precision)
     jax.config.update('jax_compilation_cache_dir',
                       os.path.join(REPO, '.jax_cache'))
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
@@ -295,6 +303,7 @@ def main():
         "runs": runs,
         "engine": args.engine,
         "resolved_engine": engine,
+        "matmul_precision": args.precision or 'default',
         "platform": platform,
         "model_tflops_per_sec": (round(model_tflops, 4)
                                  if model_tflops is not None else None),

@@ -127,7 +127,10 @@ def main():
         (10, (40, 2, 20, 2), ('dense', 'fused'), 100, True, 20),
         (12, (10, 2, 10, 2), ('fused',), 100, True, 20),
         (14, (5, 2, 5, 2), ('fused',), 32, True, 10),
-        (16, (5, 2, 5, 2), ('fused',), 16, False, 10),
+        # Q16 TRAINS on one chip: fused engine + remat
+        # (ops/fused_gates.py:195-213) keeps the backward working set
+        # bounded; bs=16 x 2^16 split-real states
+        (16, (5, 2, 5, 2), ('fused',), 16, True, 10),
     ]
     timed = 3 if args.quick else 20
     for nq, net, engines, batch, train, spe in CONFIGS:

@@ -39,6 +39,9 @@ def _pairs_xor(n_dev, bit):
 
 
 def _swap_with_partner(arr, axis_name, n_dev, dev_bit):
+    if n_dev == 1:
+        # virtual_global timing mode: partner exchange is a no-op
+        return arr
     return jax.lax.ppermute(arr, axis_name, _pairs_xor(n_dev, dev_bit))
 
 
@@ -91,7 +94,8 @@ def _rz_local(sr, si, q, half, local_n):
     return sr, si
 
 
-def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False):
+def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
+                     virtual_global=None):
     """Build a jitted sharded expectation fn:
     f(weights, x, diag) -> (batch, 1).
 
@@ -104,14 +108,28 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False):
     qubits keep the per-gate collective formulas (RZ free, RY/RX one
     ppermute, boundary CNOTs one ppermute) — the communication pattern is
     unchanged, only on-shard compute is restructured.
+
+    virtual_global=k (single-device mesh only) is a TIMING INSTRUMENT:
+    it executes exactly ONE shard's local computation of a 2^k-way
+    sharded run — same local state size 2^(n-k), same gate/combine
+    arithmetic — with every partner exchange a self-ppermute no-op.
+    The output is numerically a fixed-gauge variant, NOT the true
+    circuit; use it only to measure per-shard compute on real hardware
+    (bench_amplitude.py --shard-compute).
     """
     n = spec.n_qubits
     n_dev = mesh.shape[axis]
-    k = int(math.log2(n_dev))
-    if 2 ** k != n_dev:
-        raise ValueError(f"device count {n_dev} must be a power of 2")
+    if virtual_global is not None:
+        if n_dev != 1:
+            raise ValueError("virtual_global requires a 1-device mesh")
+        k = int(virtual_global)
+    else:
+        k = int(math.log2(n_dev))
+        if 2 ** k != n_dev:
+            raise ValueError(f"device count {n_dev} must be a power of 2")
     if k > n:
-        raise ValueError(f"{n_dev} devices > 2^{n} amplitudes")
+        raise ValueError(
+            f"2^{k} shards ({n_dev} devices) > 2^{n} amplitudes")
     local_n = n - k
     local_dim = 2 ** local_n
 
