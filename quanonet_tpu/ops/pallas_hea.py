@@ -272,21 +272,33 @@ def _make_block_chain(nb, dim, inv_sqrt):
 
 # ── engine entry points ──────────────────────────────────────────────────────
 
+USE_UCOMP = True    # A/B toggle for the Pallas f32 unitary-compile path
+
+
 def _prepare(spec, weights, x):
     """Compile block matrices (Hadamards folded, pre-transposed for
-    row-vector matmuls) and the hoisted raw phases."""
+    row-vector matmuls) and the hoisted raw phases.
+
+    The matrices come from the Pallas f32 unitary-compile kernel
+    (ops/pallas_ucomp.py) when the spec qualifies — one fused program
+    instead of ~100 small bf16 XLA ops (round-3 step profile: 72 of the
+    147 us/step) — with the XLA path as fallback and oracle."""
     n = spec.n_qubits
     batch = x.shape[0]
     nb = spec.n_blocks
 
-    ur, ui = _hea.compile_block_unitaries(spec, weights)
-    hk = jnp.asarray(hadamard_kron(n))
-    uh_r = ur @ hk
-    uh_i = ui @ hk
-    m_r = jnp.concatenate([hk @ uh_r[:-1], uh_r[-1:]], axis=0)
-    m_i = jnp.concatenate([hk @ uh_i[:-1], uh_i[-1:]], axis=0)
-    mt_r = m_r.transpose(0, 2, 1)
-    mt_i = m_i.transpose(0, 2, 1)
+    from quanonet_tpu.ops import pallas_ucomp
+    if USE_UCOMP and pallas_ucomp.ucomp_applicable(spec):
+        mt_r, mt_i = pallas_ucomp.compile_block_mats(spec, weights)
+    else:
+        ur, ui = _hea.compile_block_unitaries(spec, weights)
+        hk = jnp.asarray(hadamard_kron(n))
+        uh_r = ur @ hk
+        uh_i = ui @ hk
+        m_r = jnp.concatenate([hk @ uh_r[:-1], uh_r[-1:]], axis=0)
+        m_i = jnp.concatenate([hk @ uh_i[:-1], uh_i[-1:]], axis=0)
+        mt_r = m_r.transpose(0, 2, 1)
+        mt_i = m_i.transpose(0, 2, 1)
 
     zsgn = jnp.asarray(z_signs(n))
     xb = x.reshape(batch, nb, n).transpose(1, 0, 2)
