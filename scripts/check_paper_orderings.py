@@ -84,5 +84,58 @@ def main():
     return 0
 
 
+def capacity_main():
+    """Capacity-study trend checks (reference reproduce_capacity.sh:
+    Q2 TF-QuanONet HBxHT grid + DeepONet depth x width grid at p=4).
+
+    The paper's claim is capacity SATURATION: with latent dimension
+    pinned (quantum p = 2^n = 4 at Q2; classical p = 4), adding width or
+    depth stops helping — both families plateau, and they plateau at
+    comparable error (the 2^n ↔ p correspondence).  Checks:
+
+      1. Q2 QuanONet grid saturates: best mean rel-L2 over the grid is
+         within 2x of the grid median (no unbounded capacity scaling).
+      2. DeepONet p=4 grid saturates the same way (among non-divergent
+         configs, mean rel-L2 < 1: very deep-narrow or shallow-wide
+         extremes can fail to train at lr 1e-4, which is itself the
+         reference's expected behaviour, not a capacity trend).
+      3. The two plateaus are comparable: best Q2 QuanONet within 2x of
+         best DeepONet (either direction).
+    """
+    import statistics
+    q_means, d_means = [], []
+    with open(PATH) as f:
+        for row in csv.DictReader(f):
+            v = float(row['rel_l2_mean'])
+            if '_QuanONet_' in row['config'] and '_Q2_' in row['config']:
+                q_means.append(v)
+            elif '_DeepONet_' in row['config']:
+                d_means.append(v)
+    print(f"capacity rows: {len(q_means)} QuanONet Q2, "
+          f"{len(d_means)} DeepONet")
+    if len(q_means) < 10 or len(d_means) < 10:
+        print("SKIP capacity checks (grid not harvested yet)")
+        return 0
+    failures = []
+
+    def check(name, ok):
+        print(f"  {'PASS' if ok else 'FAIL'} {name}")
+        if not ok:
+            failures.append(name)
+
+    d_conv = [v for v in d_means if v < 1.0]
+    check("Q2 QuanONet saturates (best within 2x of median)",
+          min(q_means) * 2.0 >= statistics.median(q_means))
+    check("DeepONet p=4 saturates (best within 2x of converged median)",
+          bool(d_conv) and min(d_conv) * 2.0 >= statistics.median(d_conv))
+    check("plateaus comparable (best Q2 within 2x of best DeepONet)",
+          bool(d_conv) and 0.5 <= min(q_means) / min(d_conv) <= 2.0)
+    if failures:
+        print("FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("capacity trends reproduce ✓")
+    return 0
+
+
 if __name__ == '__main__':
-    sys.exit(main())
+    sys.exit(capacity_main() if 'capacity' in PATH else main())
