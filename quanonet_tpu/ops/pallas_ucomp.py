@@ -12,33 +12,36 @@ products is what separates the trained quality band (0.170-0.176
 rel-L2) from the f32 band (0.162-0.166) on the headline Advection
 regime; forcing f32 through XLA costs 6-pass matmuls (+108 us/step).
 
-This kernel computes the SAME block matrices in native f32 inside one
-Pallas program per direction: quality of the f32 path at less than the
-cost of the bf16 XLA path.
+This module computes the SAME block matrices in native f32.  A first,
+straight-line kernel (one (D,D) matmul per op) measured 207 us/step —
+~3,000 tiny in-kernel matmuls at ~0.04 us of issue cost each.  The
+production kernel therefore packs G=4 blocks BLOCK-DIAGONALLY into
+(4D, 4D) = (128, 128) operands (one full MXU tile at Q5): the chain of
+every per-block matrix product runs on packed operands, cutting issue
+count ~4x, and block-diagonality is preserved exactly through matmuls
+(zero off-diagonal stays zero in f32).
 
-Structure (per sublayer s, all matrices (D, D), D = 2^n):
+Structure (per sublayer s, transposed from the start to avoid any
+in-kernel transposes of the outputs):
 
-    S_s^T = U1_s^T @ (z_s[:, None] * U2_s^T) @ P^T        (transposed
-    sublayer unitary; P = ring permutation, z = RZ diagonal)
+    S_s^T = U1_s^T @ (z_s[:, None] * U2_s^T) @ P^T
 
-    U_b^T = S_{b,0}^T @ S_{b,1}^T @ ... @ S_{b,ld-1}^T     (fold)
-
-    mt_b  = H @ U_b^T @ H   (b < B-1),   mt_{B-1} = H @ U_B^T
-
+with P the ring permutation: P^T is folded into prep as a free column
+gather (B' = B[..., inv]).  Per block: fold ld sublayers
+U_b^T = S_0^T @ ... @ S_{ld-1}^T (Karatsuba), then
+mt_b = H @ U_b^T @ H (last block: right factor I instead of H) —
 exactly matching ops/hea._sublayer_unitary + compile_block_unitaries +
 the Hadamard folding in pallas_hea._prepare (reference semantics:
 core/quantum_circuits_ms.py:147-153 ansatz order, :137-144 ring).
 
-Split of labour: everything ELEMENTWISE (cos/sin of weights, the
-RY-factor products building U1^T/U2^T, the RZ diagonal) stays in jnp —
-XLA elementwise is exact f32 and fuses to a handful of ops, and its
-backward comes from autodiff.  The kernels do ONLY the matmul chains
-(the part that is both op-overhead-bound and bf16-contaminated in XLA);
-their VJP is hand-written (matmul transposes, forward pieces recomputed
-in-kernel rather than saved).
+Split of labour: everything ELEMENTWISE (cos/sin of weights, RY-factor
+products, RZ diagonal, the block-diagonal packing/unpacking) stays in
+jnp — XLA elementwise is exact f32, fuses to a handful of ops, and its
+backward comes from autodiff.  The kernels do ONLY the packed matmul
+chains; their VJP is hand-written (recompute-all, matmul transposes).
 
 Applicability: uniform linear_depth >= 1 across blocks and n_qubits <= 7
-(D <= 128, one lane tile).  Callers fall back to the XLA path otherwise.
+(D <= 128).  Callers fall back to the XLA path otherwise.
 """
 from functools import lru_cache
 
@@ -55,6 +58,8 @@ from quanonet_tpu.ops.pallas_hea import (
     DEFAULT_SCOPED_LIMIT, VMEM_LIMIT, _interpret,
 )
 
+GROUP = 4    # blocks packed per (GROUP*D, GROUP*D) operand
+
 
 def ucomp_applicable(spec) -> bool:
     lds = {ld for _, ld in spec.block_configs}
@@ -66,91 +71,83 @@ def _dot(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _ucomp_bytes(S, D):
-    """VMEM estimate with (8, 128) tile padding: 3 (S,D,D) inputs,
-    2 (B,D,D) outputs, ~8 (D,D) live temporaries."""
-    dl = -(-D // 128) * 128
-    ds = -(-D // 8) * 8
-    return 4 * (3 * S * ds * dl + 2 * S * ds * dl + 8 * ds * dl)
+def _kara(ar, ai, br, bi):
+    """(ar + i ai) @ (br + i bi): 3 real matmuls."""
+    t1 = _dot(ar, br)
+    t2 = _dot(ai, bi)
+    t3 = _dot(ar + ai, br + bi)
+    return t1 - t2, t3 - t1 - t2
 
 
-def _maybe_raise(S, D):
-    if _ucomp_bytes(S, D) > int(0.85 * DEFAULT_SCOPED_LIMIT):
+def _ucomp_bytes(ng, ld, gd):
+    """VMEM estimate, (8,128) tile padding: 3 packed (ng*ld, gd, gd)
+    inputs, 2 (ng, gd, gd) outputs + constants + ~10 live temporaries."""
+    dl = -(-gd // 128) * 128
+    ds = -(-gd // 8) * 8
+    return 4 * ((3 * ng * ld + 2 * ng + 3) * ds * dl + 10 * ds * dl)
+
+
+def _maybe_raise(ng, ld, gd):
+    if _ucomp_bytes(ng, ld, gd) > int(0.85 * DEFAULT_SCOPED_LIMIT):
         return pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
     return None
 
 
-def _fwd_kernel(nb, ld):
-    def kernel(u1_ref, br_ref, bi_ref, pt_ref, h_ref, mtr_out, mti_out):
-        pt = pt_ref[:]
+def _fwd_kernel(ng, ld):
+    def kernel(u1_ref, br_ref, bi_ref, h_ref, r_ref, mtr_out, mti_out):
         h = h_ref[:]
-        for b in range(nb):
+        for g in range(ng):
+            rp = r_ref[g]
             ar = ai = None
             for d in range(ld):
-                s = b * ld + d
+                s = g * ld + d
                 u1 = u1_ref[s]
-                qr = _dot(u1, br_ref[s])
-                qi = _dot(u1, bi_ref[s])
-                sr_ = _dot(qr, pt)
-                si_ = _dot(qi, pt)
+                sr_ = _dot(u1, br_ref[s])
+                si_ = _dot(u1, bi_ref[s])
                 if d == 0:
                     ar, ai = sr_, si_
                 else:                      # acc <- acc @ S_d^T
-                    nr = _dot(ar, sr_) - _dot(ai, si_)
-                    ni = _dot(ar, si_) + _dot(ai, sr_)
-                    ar, ai = nr, ni
-            if b < nb - 1:                 # mt_b = H @ acc @ H
-                mtr_out[b] = _dot(h, _dot(ar, h))
-                mti_out[b] = _dot(h, _dot(ai, h))
-            else:                          # last block: mt = H @ acc
-                mtr_out[b] = _dot(h, ar)
-                mti_out[b] = _dot(h, ai)
+                    ar, ai = _kara(ar, ai, sr_, si_)
+            # mt = H @ acc @ R   (R = blockdiag of H, except I in the
+            # slot holding the final circuit block)
+            ar = _dot(_dot(h, ar), rp)
+            ai = _dot(_dot(h, ai), rp)
+            mtr_out[g] = ar
+            mti_out[g] = ai
     return kernel
 
 
-def _bwd_kernel(nb, ld):
-    """Recompute-all backward: forward pieces (sublayer S^T, fold
-    prefixes) are rebuilt in-kernel — cheaper than hauling residents
-    through HBM for matrices this small."""
-    def kernel(u1_ref, br_ref, bi_ref, pt_ref, h_ref, gr_ref, gi_ref,
+def _bwd_kernel(ng, ld):
+    """Recompute-all backward: sublayer products and fold prefixes are
+    rebuilt in-kernel (cheaper than an HBM round-trip for residuals)."""
+    def kernel(u1_ref, br_ref, bi_ref, h_ref, r_ref, gr_ref, gi_ref,
                u1bar_out, bbar_r_out, bbar_i_out):
-        pt = pt_ref[:]
         h = h_ref[:]
-        for b in range(nb):
-            # recompute sublayer transposed unitaries and fold prefixes
+        for g in range(ng):
+            rp = r_ref[g]
             subs = []
             pres = []
             ar = ai = None
             for d in range(ld):
-                s = b * ld + d
+                s = g * ld + d
                 u1 = u1_ref[s]
-                qr = _dot(u1, br_ref[s])
-                qi = _dot(u1, bi_ref[s])
-                sr_ = _dot(qr, pt)
-                si_ = _dot(qi, pt)
+                sr_ = _dot(u1, br_ref[s])
+                si_ = _dot(u1, bi_ref[s])
                 subs.append((sr_, si_))
                 if d == 0:
                     ar, ai = sr_, si_
-                else:
-                    nr = _dot(ar, sr_) - _dot(ai, si_)
-                    ni = _dot(ar, si_) + _dot(ai, sr_)
-                    ar, ai = nr, ni
+                elif d < ld - 1:   # last fold product not needed in bwd
+                    ar, ai = _kara(ar, ai, sr_, si_)
                 pres.append((ar, ai))
 
-            gr = gr_ref[b]
-            gi = gi_ref[b]
-            if b < nb - 1:        # mt = H acc H  =>  accbar = H ḡ H
-                abar_r = _dot(h, _dot(gr, h))
-                abar_i = _dot(h, _dot(gi, h))
-            else:                 # mt = H acc    =>  accbar = H ḡ
-                abar_r = _dot(h, gr)
-                abar_i = _dot(h, gi)
+            # mt = H acc R  =>  accbar = H ḡ R  (H, R symmetric real)
+            abar_r = _dot(_dot(h, gr_ref[g]), rp)
+            abar_i = _dot(_dot(h, gi_ref[g]), rp)
 
             for d in range(ld - 1, -1, -1):
                 if d > 0:
-                    # acc_d = acc_{d-1} @ S_d :
-                    #   S̄_d = acc_{d-1}^H @ accbar
-                    #   accbar_{d-1} = accbar @ S_d^H
+                    # acc_d = acc_{d-1} @ S_d:
+                    #   S̄_d = acc_{d-1}^H accbar ; accbar <- accbar S_d^H
                     pr, pi = pres[d - 1]
                     sr_, si_ = subs[d]
                     sbar_r = _dot(pr.T, abar_r) + _dot(pi.T, abar_i)
@@ -161,15 +158,13 @@ def _bwd_kernel(nb, ld):
                     sbar_r, sbar_i = abar_r, abar_i
                     nbar_r = nbar_i = None
 
-                # sublayer bwd: S = (U1 @ B) @ P^T
-                s = b * ld + d
+                # S = U1 @ B' (U1 real)
+                s = g * ld + d
                 u1 = u1_ref[s]
-                qbar_r = _dot(sbar_r, pt.T)
-                qbar_i = _dot(sbar_i, pt.T)
-                u1bar_out[s] = (_dot(qbar_r, br_ref[s].T)
-                                + _dot(qbar_i, bi_ref[s].T))
-                bbar_r_out[s] = _dot(u1.T, qbar_r)
-                bbar_i_out[s] = _dot(u1.T, qbar_i)
+                u1bar_out[s] = (_dot(sbar_r, br_ref[s].T)
+                                + _dot(sbar_i, bi_ref[s].T))
+                bbar_r_out[s] = _dot(u1.T, sbar_r)
+                bbar_i_out[s] = _dot(u1.T, sbar_i)
 
                 if d > 0:
                     abar_r, abar_i = nbar_r, nbar_i
@@ -177,46 +172,47 @@ def _bwd_kernel(nb, ld):
 
 
 @lru_cache(maxsize=64)
-def _make_ucomp(nb, ld, dim):
+def _make_ucomp(ng, ld, gd):
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
-    S = nb * ld
-    params = _maybe_raise(S, dim)
+    params = _maybe_raise(ng, ld, gd)
 
-    def fwd_call(u1t, br, bi, pt, h):
+    def fwd_call(u1p, bpr, bpi, hp, rp):
         out_shape = (
-            jax.ShapeDtypeStruct((nb, dim, dim), jnp.float32),
-            jax.ShapeDtypeStruct((nb, dim, dim), jnp.float32),
+            jax.ShapeDtypeStruct((ng, gd, gd), jnp.float32),
+            jax.ShapeDtypeStruct((ng, gd, gd), jnp.float32),
         )
         return pl.pallas_call(
-            _fwd_kernel(nb, ld), out_shape=out_shape,
+            _fwd_kernel(ng, ld), out_shape=out_shape,
             in_specs=[vm] * 5, out_specs=(vm,) * 2,
             interpret=_interpret(), compiler_params=params,
-        )(u1t, br, bi, pt, h)
+        )(u1p, bpr, bpi, hp, rp)
 
-    def bwd_call(u1t, br, bi, pt, h, gr, gi):
+    def bwd_call(u1p, bpr, bpi, hp, rp, gr, gi):
+        S = ng * ld
         out_shape = (
-            jax.ShapeDtypeStruct((S, dim, dim), jnp.float32),
-            jax.ShapeDtypeStruct((S, dim, dim), jnp.float32),
-            jax.ShapeDtypeStruct((S, dim, dim), jnp.float32),
+            jax.ShapeDtypeStruct((S, gd, gd), jnp.float32),
+            jax.ShapeDtypeStruct((S, gd, gd), jnp.float32),
+            jax.ShapeDtypeStruct((S, gd, gd), jnp.float32),
         )
         return pl.pallas_call(
-            _bwd_kernel(nb, ld), out_shape=out_shape,
+            _bwd_kernel(ng, ld), out_shape=out_shape,
             in_specs=[vm] * 7, out_specs=(vm,) * 3,
             interpret=_interpret(), compiler_params=params,
-        )(u1t, br, bi, pt, h, gr, gi)
+        )(u1p, bpr, bpi, hp, rp, gr, gi)
 
     @jax.custom_vjp
-    def ucomp(u1t, br, bi, pt, h):
-        return fwd_call(u1t, br, bi, pt, h)
+    def ucomp(u1p, bpr, bpi, hp, rp):
+        return fwd_call(u1p, bpr, bpi, hp, rp)
 
-    def ucomp_fwd(u1t, br, bi, pt, h):
-        return fwd_call(u1t, br, bi, pt, h), (u1t, br, bi, pt, h)
+    def ucomp_fwd(u1p, bpr, bpi, hp, rp):
+        return fwd_call(u1p, bpr, bpi, hp, rp), (u1p, bpr, bpi, hp, rp)
 
     def ucomp_bwd(res, g):
-        u1t, br, bi, pt, h = res
-        u1bar, bbar_r, bbar_i = bwd_call(u1t, br, bi, pt, h, g[0], g[1])
+        u1p, bpr, bpi, hp, rp = res
+        u1bar, bbar_r, bbar_i = bwd_call(u1p, bpr, bpi, hp, rp,
+                                         g[0], g[1])
         return (u1bar, bbar_r, bbar_i,
-                jnp.zeros_like(pt), jnp.zeros_like(h))
+                jnp.zeros_like(hp), jnp.zeros_like(rp))
 
     ucomp.defvjp(ucomp_fwd, ucomp_bwd)
     return ucomp
@@ -229,24 +225,33 @@ def _static_arrays(n_qubits):
     eq = (bits[:, None, :] == bits[None, :, :]).astype(np.float32)
     diff_t = (bits[None, :, :] - bits[:, None, :]).astype(np.float32)
     inv = cnot_ring_inverse_permutation(n_qubits)
-    pt = np.zeros((D, D), np.float32)
-    pt[inv, np.arange(D)] = 1.0            # P^T, P[r, inv[r]] = 1
-    return (eq, diff_t, pt, hadamard_kron(n_qubits).astype(np.float32),
+    return (eq, diff_t, np.asarray(inv),
+            hadamard_kron(n_qubits).astype(np.float32),
             z_signs(n_qubits).astype(np.float32))
+
+
+def _pack_blockdiag(a, ng, G, D):
+    """(ng*G, ..., D, D) -> (ng, ..., G*D, G*D) block-diagonal.  Pure
+    pad-and-add: exact f32, autodiff transposes back to slices."""
+    lead = a.shape[1:-2]
+    a = a.reshape((ng, G) + lead + (D, D))
+    out = 0
+    for j in range(G):
+        pad = [(0, 0)] * (a.ndim - 3) + [(j * D, (G - 1 - j) * D),
+                                         (j * D, (G - 1 - j) * D)]
+        out = out + jnp.pad(a[:, j], pad)
+    return out
 
 
 def compile_block_mats(spec, weights):
     """weights (S, 3, n) -> (mt_r, mt_i), each (n_blocks, D, D): the
     Hadamard-folded, pre-transposed block matrices the chain kernels
-    consume (same contract as pallas_hea._prepare's XLA path).
-
-    Elementwise prep in jnp (exact f32, autodiff'd); matmul chains in
-    the Pallas kernel (native f32, hand-written VJP)."""
+    consume (same contract as pallas_hea._prepare's XLA path)."""
     n = spec.n_qubits
     D = spec.dim
     nb = spec.n_blocks
     ld = spec.block_configs[0][1]
-    eq, diff_t, pt, h, zsgn = _static_arrays(n)
+    eq, diff_t, inv, h, zsgn = _static_arrays(n)
     eq = jnp.asarray(eq)
     diff_t = jnp.asarray(diff_t)
 
@@ -266,13 +271,59 @@ def compile_block_mats(spec, weights):
 
     u1t = build_ut(c[:, 0], s[:, 0])                       # RY row 0
     u2t = build_ut(c[:, 2], s[:, 2])                       # RY' row 2
-    # RZ diagonal: ph_k = 0.5·Σ_q zsgn[k,q]·w[1,q]  (elementwise, exact)
     ph = jnp.einsum('dq,sq->sd', jnp.asarray(zsgn), half[:, 1],
                     precision=jax.lax.Precision.HIGHEST)   # (S, D)
     zr = jnp.cos(ph)[:, :, None]
     zi = -jnp.sin(ph)[:, :, None]
-    br = zr * u2t
-    bi = zi * u2t
+    # B' = (z ⊙row U2^T) @ P^T — the permutation folded as a gather
+    br = (zr * u2t)[:, :, inv]
+    bi = (zi * u2t)[:, :, inv]
 
-    ucomp = _make_ucomp(nb, ld, D)
-    return ucomp(u1t, br, bi, jnp.asarray(pt), jnp.asarray(h))
+    # pad the block count to a GROUP multiple with identity blocks
+    G = min(GROUP, nb)
+    nb_pad = -(-nb // G) * G
+    if nb_pad != nb:
+        pad_n = (nb_pad - nb) * ld
+        eye = jnp.broadcast_to(jnp.eye(D, dtype=jnp.float32),
+                               (pad_n, D, D))
+        zero = jnp.zeros((pad_n, D, D), jnp.float32)
+        u1t = jnp.concatenate([u1t, eye])
+        br = jnp.concatenate([br, eye])
+        bi = jnp.concatenate([bi, zero])
+    ng = nb_pad // G
+
+    # pack sublayers (j-within-group fastest): block b = g*G + j holds
+    # sublayers b*ld + d; packed index s_packed = g*ld + d over
+    # (G*D)-sized operands with slot j = b % G
+    def to_packed(a):
+        # (nb_pad*ld, D, D) -> (ng, ld, G, D, D) -> blockdiag
+        a = a.reshape(ng, G, ld, D, D).transpose(0, 2, 1, 3, 4)
+        a = a.reshape(ng * G * ld, D, D)  # order: g, d, j
+        # _pack_blockdiag packs groups of G consecutive entries
+        p = _pack_blockdiag(a, ng * ld, G, D)
+        return p                                        # (ng*ld, GD, GD)
+
+    u1p = to_packed(u1t)
+    bpr = to_packed(br)
+    bpi = to_packed(bi)
+
+    hp = jnp.asarray(np.kron(np.eye(G, dtype=np.float32), h))
+    # right factor: H per slot, except I for the final circuit block
+    rp_np = np.zeros((ng, G * D, G * D), np.float32)
+    for g in range(ng):
+        for j in range(G):
+            b = g * G + j
+            blk = np.eye(D, dtype=np.float32) if b == nb - 1 else h
+            rp_np[g, j * D:(j + 1) * D, j * D:(j + 1) * D] = blk
+    rp = jnp.asarray(rp_np)
+
+    ucomp = _make_ucomp(ng, ld, G * D)
+    mtp_r, mtp_i = ucomp(u1p, bpr, bpi, hp, rp)
+
+    # unpack the diagonal blocks: block b = g*G + j
+    def unpack(p):
+        p = p.reshape(ng, G * D, G, D)
+        rows = [p[:, j * D:(j + 1) * D, j, :] for j in range(G)]
+        out = jnp.stack(rows, axis=1).reshape(nb_pad, D, D)
+        return out[:nb]
+    return unpack(mtp_r), unpack(mtp_i)
