@@ -266,10 +266,14 @@ def _forward_dense(spec: HEASpec, weights, x, unroll=8):
     mt_i = m_i.transpose(0, 2, 1)
     mt_sum = mt_r + mt_i
 
-    # all encoding phases in one hoisted matmul
+    # all encoding phases in one hoisted matmul.  PRECISION PIN: bf16
+    # rounding of this K=n dot random-walks ~0.4%/block phase error
+    # over the chain into ~2% output error (the bulk of the measured
+    # bf16 quality gap); at K<=n the 6-pass cost is negligible.
     zsgn = jnp.asarray(z_signs(n))                       # (D, n)
     xb = x.reshape(batch, nb, n).transpose(1, 0, 2)      # (B, batch, n)
-    phi = 0.5 * (xb @ zsgn.T)                            # (B, batch, D)
+    phi = 0.5 * jnp.einsum('bxn,dn->bxd', xb, zsgn,
+                           precision=jax.lax.Precision.HIGHEST)
     dr = jnp.cos(phi)
     di = -jnp.sin(phi)
 
@@ -357,9 +361,14 @@ def _rx_single(sr, si, q, theta, n_qubits):
 # ── expectation ──────────────────────────────────────────────────────────────
 
 def diag_expectation_pair(sr, si, diag):
-    """⟨H⟩ for diagonal H: Σ_k |ψ_k|² d_k -> (batch, 1)."""
+    """⟨H⟩ for diagonal H: Σ_k |ψ_k|² d_k -> (batch, 1).
+
+    PRECISION PIN: this K=2^n reduction is the model OUTPUT; bf16
+    rounding here puts ~0.3% noise directly on every prediction (and on
+    every loss gradient).  One tiny matvec per batch — pin it."""
     probs = sr * sr + si * si
-    return (probs @ diag.astype(probs.dtype))[:, None]
+    return jnp.einsum('bd,d->b', probs, diag.astype(probs.dtype),
+                      precision=jax.lax.Precision.HIGHEST)[:, None]
 
 
 def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):

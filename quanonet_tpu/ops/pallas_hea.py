@@ -272,7 +272,13 @@ def _make_block_chain(nb, dim, inv_sqrt):
 
 # ── engine entry points ──────────────────────────────────────────────────────
 
-USE_UCOMP = True    # A/B toggle for the Pallas f32 unitary-compile path
+USE_UCOMP = False   # A/B toggle for the Pallas f32 unitary-compile path
+# (ops/pallas_ucomp.py).  Measured on v5e round 3: the kernel is
+# numerically f32-exact but SLOWER than the bf16 XLA path (196-207 vs
+# 147 us/step — ~3000 small in-kernel matmuls at ~0.04 us issue cost
+# beat XLA's op overhead but f32 MXU passes + packing traffic eat the
+# win).  Kept as a verified experiment; the cheap quality fix turned
+# out to be the PHASES einsum precision pin below.
 
 
 def _prepare(spec, weights, x):
@@ -302,7 +308,14 @@ def _prepare(spec, weights, x):
 
     zsgn = jnp.asarray(z_signs(n))
     xb = x.reshape(batch, nb, n).transpose(1, 0, 2)
-    phi = 0.5 * (xb @ zsgn.T)                            # (B, batch, D)
+    # PRECISION PIN (quality-critical): under the TPU's default bf16
+    # matmul this K=n dot rounds the encoding angles to ~8 mantissa
+    # bits; the ~0.4% per-block phase error random-walks over the
+    # 40-60 block chain into ~2% output error — measured as the bulk of
+    # the bf16-vs-f32 trained-quality gap on the headline regime.  At
+    # K<=7 the 6-pass penalty is nanoseconds.
+    phi = 0.5 * jnp.einsum('bxn,dn->bxd', xb, zsgn,
+                           precision=jax.lax.Precision.HIGHEST)
     return mt_r, mt_i, phi
 
 
