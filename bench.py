@@ -32,6 +32,13 @@ Quality protocol (round 3):
   (Measured round 3: identical program+keys replay bit-identically on
   this TPU — the run-to-run variance lives across seeds and across
   XLA recompilations, not across executions.)
+* --f32_tail N trains the LAST N epoch segments at matmul precision
+  "highest" (bf16 body, f32 tail).  Measured round 3: this HURTS
+  (0.1736-0.1867 vs 0.1668-0.1750 for the bf16+pins default; train MSE
+  improves while test rel-L2 degrades) — the bf16-vs-f32 quality gap
+  is a whole-trajectory effect, not late-stage refinement, so the
+  default is 0 and the flag is kept as the documented experiment
+  (docs/BENCHMARKS.md precision study).
 
 Methodology notes (axon TPU tunnel):
 * the first execution of a compiled program pays a large one-time
@@ -110,6 +117,11 @@ def main():
                          'program (bf16 MXU default if unset); the '
                          'quality/throughput trade is documented in '
                          'docs/BENCHMARKS.md')
+    ap.add_argument('--f32_tail', type=int, default=0,
+                    help='run the LAST N epoch segments at matmul '
+                         'precision "highest" (f32, 6-pass).  Default 0: '
+                         'the measured effect is NEGATIVE (see module '
+                         'docstring / docs/BENCHMARKS.md).')
     args = ap.parse_args()
 
     import jax
@@ -139,6 +151,7 @@ def main():
     num_train = 200 if args.quick else 1000
     epochs = args.epochs or (10 if args.quick else 100)
     runs = args.runs or (1 if args.quick else 3)
+    f32_tail = args.f32_tail
     if args.quick:
         cfg = dict(operator='Advection', model_type='QuanONet',
                    num_train=num_train, num_test=100,
@@ -251,11 +264,23 @@ def main():
             log(f"timed: {timed_segs * seg} epochs x {n} samples in "
                 f"{dt:.2f}s => {sps:,.0f} samples/sec")
 
-        # finish the regime
+        # finish the regime; the last f32_tail segments retrace the SAME
+        # segment program at matmul precision "highest" (a second cached
+        # program shape) — bf16 gradient noise caps late-stage refinement
+        # (see docs/BENCHMARKS.md precision study), so spending f32 only
+        # on the tail buys the f32 quality band at bf16 throughput
+        tail_start = max(1 + timed_segs, n_segs - f32_tail)
         for i in range(1 + timed_segs, n_segs):
-            params, opt_state, best_loss, best_params, hist = run_segment(
-                params, opt_state, best_loss, best_params, seg_keys[i],
-                inputs, target)
+            if i >= tail_start and f32_tail > 0:
+                with jax.default_matmul_precision('highest'):
+                    params, opt_state, best_loss, best_params, hist = \
+                        run_segment(params, opt_state, best_loss,
+                                    best_params, seg_keys[i], inputs,
+                                    target)
+            else:
+                params, opt_state, best_loss, best_params, hist = \
+                    run_segment(params, opt_state, best_loss, best_params,
+                                seg_keys[i], inputs, target)
         bl = float(best_loss)
         rel = eval_rel_l2(best_params)
         rels.append(rel)
@@ -304,6 +329,7 @@ def main():
         "engine": args.engine,
         "resolved_engine": engine,
         "matmul_precision": args.precision or 'default',
+        "f32_tail_segs": f32_tail,
         "platform": platform,
         "model_tflops_per_sec": (round(model_tflops, 4)
                                  if model_tflops is not None else None),
