@@ -19,6 +19,14 @@ validated without it, on the 8-device virtual CPU mesh
 Emits one JSON line per row; `--table` prints the markdown for
 docs/BENCHMARKS.md.  CPU wall-times are NOT TPU predictions and are
 reported only to show the run really executed.
+
+`--shard-compute` is the fourth evidence mode and the one that DOES run
+on the real chip: it times ONE shard's local computation of an 8-way
+(k=3) sharded forward on the single available TPU, via
+make_sharded_hea(..., virtual_global=3) — identical local state size
+2^(n-3), identical gate/combine arithmetic, partner exchanges replaced
+by self-no-ops (VERDICT round-2 item 8: put a *measured* compute side
+under the analytic ICI column).
 """
 import argparse
 import json
@@ -26,13 +34,17 @@ import os
 import sys
 import time
 
-os.environ.setdefault("XLA_FLAGS",
-                      "--xla_force_host_platform_device_count=8")
-os.environ["JAX_PLATFORMS"] = "cpu"
+_SHARD_COMPUTE = "--shard-compute" in sys.argv
+
+if not _SHARD_COMPUTE:
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _SHARD_COMPUTE:
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
@@ -89,11 +101,81 @@ def row(nq, net, batch, n_dev, check_single):
     }
 
 
+def shard_compute_row(nq, net, batch, k=3, repeats=3):
+    """Time ONE shard's local compute of a 2^k-way sharded forward on the
+    real TPU (virtual_global mode: same local state 2^(n-k), same
+    arithmetic, partner exchanges as self-no-ops).  Timing materializes a
+    dependent host value each call (block_until_ready is unreliable over
+    the tunnel, CLAUDE.md)."""
+    spec = quanonet_spec(nq, net)
+    rng = np.random.RandomState(0)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2,
+                                (batch, spec.total_encode)).astype(np.float32))
+    local_dim = 2 ** (nq - k)
+    diag_local = jnp.asarray(simple_ham_diag(nq, -5, 5)[:local_dim]
+                             .astype(np.float32))
+    dev = jax.devices()[0]
+    mesh = Mesh(np.asarray([dev]), ("amp",))
+    f = make_sharded_hea(spec, mesh, fused=True, virtual_global=k)
+
+    t0 = time.time()
+    chk = float(np.asarray(f(w, x, diag_local)).sum())   # compile + warm
+    compile_s = time.time() - t0
+    times = []
+    for _ in range(repeats):
+        t0 = time.time()
+        chk = float(np.asarray(f(w, x, diag_local)).sum())
+        times.append(time.time() - t0)
+    best = min(times)
+    tr = sharded_collective_counts(spec, 2 ** k)
+    ici_us = tr["bytes_per_sample"] / ICI_GBPS * 1e6
+    return {
+        "qubits": nq, "net_size": list(net), "batch": batch,
+        "shards": 2 ** k, "local_amplitudes": local_dim,
+        "platform": jax.devices()[0].platform,
+        "compile_s": round(compile_s, 1),
+        "per_shard_compute_us_per_sample": round(best / batch * 1e6, 2),
+        "ici_us_per_sample_serialized": round(ici_us, 2),
+        "call_wall_s": round(best, 4),
+        "check": chk,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--table", action="store_true")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--shard-compute", action="store_true")
     args = ap.parse_args()
+
+    if args.shard_compute:
+        # (qubits, net, batch) — batch sized so one call >> the ~5 ms
+        # per-program RPC latency of the tunnel
+        cases = [
+            (12, (4, 2, 4, 2), 1024),
+            (16, (4, 2, 4, 2), 256),
+            (18, (2, 2, 2, 2), 64),
+            (20, (2, 2, 2, 2), 16),
+        ]
+        if args.quick:
+            cases = cases[:1]
+        rows = []
+        for nq, net, batch in cases:
+            r = shard_compute_row(nq, net, batch)
+            rows.append(r)
+            print(json.dumps(r), flush=True)
+        if args.table:
+            print("\n| Qubits | local amps/shard (8-way) | per-shard compute "
+                  "µs/sample (measured) | serialized ICI µs/sample "
+                  "(analytic) |")
+            print("|---|---|---|---|")
+            for r in rows:
+                print(f"| {r['qubits']} | {r['local_amplitudes']:,} | "
+                      f"{r['per_shard_compute_us_per_sample']} | "
+                      f"{r['ici_us_per_sample_serialized']} |")
+        return
 
     # (qubits, net, batch, validate-vs-single-device?)
     cases = [

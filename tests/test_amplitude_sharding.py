@@ -119,3 +119,27 @@ def test_rejects_too_many_devices():
     spec, w, x, diag = _case(2, (1, 1, 1, 1), batch=2)
     with pytest.raises(ValueError, match="devices"):
         make_sharded_hea(spec, _mesh(8))  # 8 devices > 2^2 amplitudes
+
+
+def test_virtual_global_k0_is_true_circuit():
+    """virtual_global=0 on a 1-device mesh has no global qubits, so the
+    timing instrument degenerates to the real fused circuit — validates
+    the plumbing bench_amplitude.py --shard-compute relies on."""
+    spec, w, x, diag = _case(5, (2, 2, 2, 2), batch=4)
+    f = make_sharded_hea(spec, _mesh(1), fused=True, virtual_global=0)
+    ref = hea_expectation(spec, w, x, diag=diag, engine='fused')
+    np.testing.assert_allclose(np.asarray(f(w, x, diag)),
+                               np.asarray(ref), atol=1e-5)
+
+
+def test_virtual_global_executes_with_global_qubits():
+    """virtual_global=2 runs one shard's local compute (2^(n-2) state)
+    with self-no-op exchanges; output is a gauge variant, just assert it
+    executes finite at the sharded state size."""
+    spec, w, x, diag = _case(6, (2, 2, 2, 2), batch=4)
+    f = make_sharded_hea(spec, _mesh(1), fused=True, virtual_global=2)
+    out = np.asarray(f(w, x, jnp.asarray(diag[: 2 ** 4])))
+    assert out.shape == (4, 1)
+    assert np.all(np.isfinite(out))
+    with pytest.raises(ValueError, match="1-device"):
+        make_sharded_hea(spec, _mesh(2), virtual_global=2)
