@@ -104,15 +104,19 @@ def row(nq, net, batch, n_dev, check_single):
 def shard_compute_row(nq, net, batch, k=3, repeats=3):
     """Time ONE shard's local compute of a 2^k-way sharded forward on the
     real TPU (virtual_global mode: same local state 2^(n-k), same
-    arithmetic, partner exchanges as self-no-ops).  Timing materializes a
-    dependent host value each call (block_until_ready is unreliable over
-    the tunnel, CLAUDE.md)."""
+    arithmetic, partner exchanges as self-no-ops).
+
+    The tunnel has a ~35 ms fixed per-call floor (RPC + dispatch), so a
+    single-batch wall/batch number overstates small-state rows.  The
+    per-sample figure is therefore the SLOPE between two batch sizes
+    (batch and batch/16): (t_big - t_small)/(batch - batch/16) — the
+    fixed floor cancels exactly.  Timing materializes a dependent host
+    value each call (block_until_ready is unreliable over the tunnel,
+    CLAUDE.md)."""
     spec = quanonet_spec(nq, net)
     rng = np.random.RandomState(0)
     w = jnp.asarray(rng.uniform(-np.pi, np.pi,
                                 spec.weight_shape()).astype(np.float32))
-    x = jnp.asarray(rng.uniform(-2, 2,
-                                (batch, spec.total_encode)).astype(np.float32))
     local_dim = 2 ** (nq - k)
     diag_local = jnp.asarray(simple_ham_diag(nq, -5, 5)[:local_dim]
                              .astype(np.float32))
@@ -120,15 +124,22 @@ def shard_compute_row(nq, net, batch, k=3, repeats=3):
     mesh = Mesh(np.asarray([dev]), ("amp",))
     f = make_sharded_hea(spec, mesh, fused=True, virtual_global=k)
 
-    t0 = time.time()
-    chk = float(np.asarray(f(w, x, diag_local)).sum())   # compile + warm
-    compile_s = time.time() - t0
-    times = []
-    for _ in range(repeats):
+    walls = {}
+    compile_s = 0.0
+    chk = 0.0
+    for b in (batch // 16, batch):
+        xb = jnp.asarray(rng.uniform(-2, 2, (b, spec.total_encode))
+                         .astype(np.float32))
         t0 = time.time()
-        chk = float(np.asarray(f(w, x, diag_local)).sum())
-        times.append(time.time() - t0)
-    best = min(times)
+        chk = float(np.asarray(f(w, xb, diag_local)).sum())   # compile+warm
+        compile_s += time.time() - t0
+        times = []
+        for _ in range(repeats):
+            t0 = time.time()
+            chk = float(np.asarray(f(w, xb, diag_local)).sum())
+            times.append(time.time() - t0)
+        walls[b] = min(times)
+    slope = (walls[batch] - walls[batch // 16]) / (batch - batch // 16)
     tr = sharded_collective_counts(spec, 2 ** k)
     ici_us = tr["bytes_per_sample"] / ICI_GBPS * 1e6
     return {
@@ -136,9 +147,9 @@ def shard_compute_row(nq, net, batch, k=3, repeats=3):
         "shards": 2 ** k, "local_amplitudes": local_dim,
         "platform": jax.devices()[0].platform,
         "compile_s": round(compile_s, 1),
-        "per_shard_compute_us_per_sample": round(best / batch * 1e6, 2),
+        "per_shard_compute_us_per_sample": round(slope * 1e6, 2),
         "ici_us_per_sample_serialized": round(ici_us, 2),
-        "call_wall_s": round(best, 4),
+        "call_wall_s": {b: round(t, 4) for b, t in walls.items()},
         "check": chk,
     }
 
@@ -151,13 +162,15 @@ def main():
     args = ap.parse_args()
 
     if args.shard_compute:
-        # (qubits, net, batch) — batch sized so one call >> the ~5 ms
-        # per-program RPC latency of the tunnel
+        # (qubits, net, batch) — batch sized so one call is compute-
+        # dominated: the tunnel shows a ~35 ms fixed per-call floor
+        # (RPC + dispatch), so calls must run >=300 ms to measure the
+        # per-sample compute rather than the floor
         cases = [
-            (12, (4, 2, 4, 2), 1024),
-            (16, (4, 2, 4, 2), 256),
-            (18, (2, 2, 2, 2), 64),
-            (20, (2, 2, 2, 2), 16),
+            (12, (4, 2, 4, 2), 16384),
+            (16, (4, 2, 4, 2), 2048),
+            (18, (2, 2, 2, 2), 512),
+            (20, (2, 2, 2, 2), 128),
         ]
         if args.quick:
             cases = cases[:1]
