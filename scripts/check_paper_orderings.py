@@ -137,5 +137,57 @@ def capacity_main():
     return 0
 
 
+def circuit_main():
+    """Circuit-size-study trend checks (reference reproduce_circuit.sh:
+    Q2/Q5/Q10 grids, HB qubit-dependent {50,100}/{20,40}/{10,20},
+    HT in {10,20,30,40}, 5 seeds per config).
+
+    The paper's claims: (1) going Q2 -> Q5 helps across the grid (the
+    2^n latent dimension is the capacity lever), and (2) the largest
+    circuits train WORSE at the fixed epoch budget — the Q10 grid's bad
+    corners degrade past anything in the Q5 grid (larger circuits are
+    harder to optimize; the reference reports the same).  Plus seed
+    parity: every row must carry the reference's 5 seeds."""
+    rows = []
+    with open(PATH) as f:
+        for row in csv.DictReader(f):
+            import re
+            q = int(re.search(r'_Q(\d+)_', row['config']).group(1))
+            ht = int(re.search(r'_Net\d+-\d+-(\d+)-\d+_',
+                               row['config']).group(1))
+            rows.append((q, ht, int(row['seeds']),
+                         float(row['rel_l2_mean'])))
+    by_q = defaultdict(list)
+    for q, ht, seeds, v in rows:
+        by_q[q].append(v)
+    print(f"circuit rows: " + ", ".join(
+        f"Q{q}:{len(by_q[q])}" for q in sorted(by_q)))
+    if any(len(by_q.get(q, [])) < 8 for q in (2, 5, 10)):
+        print("SKIP circuit checks (grids not harvested yet)")
+        return 0
+    failures = []
+
+    def check(name, ok):
+        print(f"  {'PASS' if ok else 'FAIL'} {name}")
+        if not ok:
+            failures.append(name)
+
+    check("all rows at reference seed count (5)",
+          all(s == 5 for _, _, s, _ in rows))
+    for ht in (10, 20, 30, 40):
+        q2 = [v for q, h, _, v in rows if q == 2 and h == ht]
+        q5 = [v for q, h, _, v in rows if q == 5 and h == ht]
+        check(f"Q5 beats Q2 at HT={ht} (best-of-HB)",
+              bool(q2) and bool(q5) and min(q5) < min(q2))
+    check("Q10 worst corner degrades past the whole Q5 grid",
+          max(by_q[10]) > max(by_q[5]))
+    if failures:
+        print("FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("circuit-size trends reproduce ✓")
+    return 0
+
+
 if __name__ == '__main__':
-    sys.exit(capacity_main() if 'capacity' in PATH else main())
+    sys.exit(circuit_main() if 'circuit' in PATH
+             else capacity_main() if 'capacity' in PATH else main())
