@@ -1,0 +1,69 @@
+"""
+Randomized cross-engine property sweep: seeded random circuit shapes
+(qubit count, per-block depths, ragged batch sizes) pushed through all
+five gate-application strategies, asserting forward AND gradient
+agreement against the dense oracle.
+
+Widens the fixed-spec grids of test_engine.py / test_pallas.py /
+test_fused_gates.py the way the reference's compare_backends.py used
+randomized weights across its five backends
+(reference compare_backends.py:140-212) — here the diversity is in the
+circuit SHAPE as well, since one engine serves every architecture.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+from quanonet_tpu.ops.hea import HEASpec, hea_expectation
+
+N_CASES = 8
+
+
+def _random_case(seed):
+    rng = np.random.RandomState(1000 + seed)
+    nq = int(rng.randint(2, 7))                    # 2..6 qubits
+    n_blocks = int(rng.randint(2, 7))              # 2..6 blocks
+    # uniform encode (every engine supports it); random sublayer depths,
+    # including an occasional encoding-only block (ld=0)
+    cfg = tuple((nq, int(rng.randint(0, 4))) for _ in range(n_blocks))
+    if all(ld == 0 for _, ld in cfg):              # ensure some ansatz
+        cfg = cfg[:-1] + ((nq, 1),)
+    spec = HEASpec(nq, cfg)
+    batch = int(rng.randint(1, 12))                # ragged batches
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2,
+                                (batch, spec.total_encode))
+                    .astype(np.float32))
+    lb, ub = sorted(rng.uniform(-8, 8, 2).tolist())
+    diag = jnp.asarray(simple_ham_diag(nq, lb, ub))
+    return spec, w, x, diag
+
+
+@pytest.mark.parametrize("engine", ["gates", "pallas", "embed", "fused"])
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_random_spec_forward_matches_dense(seed, engine):
+    spec, w, x, diag = _random_case(seed)
+    out_e = hea_expectation(spec, w, x, diag=diag, engine=engine)
+    out_d = hea_expectation(spec, w, x, diag=diag, engine='dense')
+    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_d),
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("engine", ["gates", "pallas", "embed", "fused"])
+@pytest.mark.parametrize("seed", range(0, N_CASES, 2))
+def test_random_spec_grad_matches_dense(seed, engine):
+    spec, w, x, diag = _random_case(seed)
+
+    def loss(engine):
+        def f(w):
+            return jnp.sum(hea_expectation(spec, w, x, diag=diag,
+                                           engine=engine) ** 2)
+        return f
+
+    g_e = jax.grad(loss(engine))(w)
+    g_d = jax.grad(loss('dense'))(w)
+    np.testing.assert_allclose(np.asarray(g_e), np.asarray(g_d),
+                               atol=2e-4)
