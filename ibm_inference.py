@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from quanonet_tpu.checkpoint import load_raw
 from quanonet_tpu.ibm_export import (
-    build_gate_list, ideal_predictions, qiskit_available,
+    build_gate_list, fetch_ibm_job, ideal_predictions, qiskit_available,
     simulate_gate_list, submit_to_ibm, to_qasm2, unpack_quanonet_weights,
 )
 from quanonet_tpu.infer import _parse_path, evaluate
@@ -41,7 +41,15 @@ def main():
     p.add_argument('--input_func', type=str, choices=['cos', 'linear'],
                    default='cos')
     p.add_argument('--ham_bound', type=float, nargs=2, default=[-5.0, 5.0])
+    p.add_argument('--job_id', type=str, default=None,
+                   help="Fetch results from an existing IBM Quantum job "
+                        "(reference ibm_inference.py:223-243; qiskit-gated)")
+    # Manual architecture overrides (auto-parsed from path by default;
+    # reference ibm_inference.py:134-152)
     p.add_argument('--num_qubits', type=int, default=None)
+    p.add_argument('--n_branch', type=int, default=None)
+    p.add_argument('--n_trunk', type=int, default=None)
+    p.add_argument('--n_hidden', type=int, default=None)
     p.add_argument('--export_dir', type=str, default='ibm_export',
                    help="Where to write .qasm deployment artifacts")
     p.add_argument('--export_points', type=int, default=3,
@@ -54,9 +62,18 @@ def main():
         return
 
     path_cfg = _parse_path(args.weight_path)
-    net_size = path_cfg.get('net_size', [5, 1, 5, 1])
+    net_size = list(path_cfg.get('net_size', [5, 1, 5, 1]))
+    # CLI overrides, reference ibm_inference.py:149-152 (n_hidden sets
+    # both branch and trunk hidden counts)
+    if args.n_branch is not None:
+        net_size[0] = args.n_branch
+    if args.n_trunk is not None:
+        net_size[2] = args.n_trunk
+    if args.n_hidden is not None:
+        net_size[1] = net_size[3] = args.n_hidden
     num_qubits = args.num_qubits or path_cfg.get('num_qubits', 2)
-    print(f"-> Architecture: net_size={net_size}, qubits={num_qubits}")
+    print(f"-> Architecture: branch=({net_size[0]}x{net_size[1]}), "
+          f"trunk=({net_size[2]}x{net_size[3]}), qubits={num_qubits}")
 
     ham_offset, ham_coeff = simple_ham_params(num_qubits, *args.ham_bound)
     raw = load_raw(args.weight_path)
@@ -115,6 +132,22 @@ def main():
 
     # real-QPU path (qiskit-gated)
     token = os.getenv("QISKIT_IBM_TOKEN")
+    if args.job_id:
+        # MODE: fetch existing job (reference ibm_inference.py:223-243)
+        print(f"\n--- Fetching Existing Job: {args.job_id} ---")
+        try:
+            evs, name = fetch_ibm_job(args.job_id)
+        except Exception as e:
+            print(f"❌ Failed to fetch job: {e}")
+            return
+        if evs is None:
+            print(f"⚠️ Job is currently {name}. Cannot fetch results yet.")
+            return
+        noisy = np.asarray(evs) * ham_coeff + ham_offset + bias
+        m = evaluate(noisy, true_solution[export_idx])
+        print(f"[IBM QPU ({name})] MSE: {m['mse']:.2e} | "
+              f"Relative L2: {m['rel_l2']:.2%}")
+        return
     if token and not args.simulator_only:
         if not qiskit_available():
             print("\nQISKIT_IBM_TOKEN set but qiskit is not installed; "

@@ -264,3 +264,27 @@ def submit_to_ibm(qasm_strs, num_qubits, ham_bound, shots=10_000,
     job = estimator.run(pubs)
     print(f"Submitted job: {job.job_id()}")
     return job, offset, coeff
+
+
+def fetch_ibm_job(job_id):
+    """Fetch an existing IBM Quantum job's expectation values
+    (reference ibm_inference.py:223-243).  Returns (evs, backend_name)
+    when the job is DONE, else (None, status).  Requires qiskit-ibm-
+    runtime + QISKIT_IBM_TOKEN."""
+    if not qiskit_available():
+        raise ImportError(
+            "qiskit is not installed in this environment; fetch the job "
+            "from a qiskit-enabled machine "
+            "(QiskitRuntimeService().job(id).result()[0].data.evs).")
+    import os
+    from qiskit_ibm_runtime import QiskitRuntimeService
+
+    token = os.getenv("QISKIT_IBM_TOKEN")
+    service = QiskitRuntimeService(channel="ibm_quantum_platform",
+                                   token=token)
+    job = service.job(job_id)
+    status = str(job.status())
+    if status != "DONE":
+        return None, status
+    backend_name = job.backend().name if job.backend() else "Unknown"
+    return job.result()[0].data.evs, backend_name

@@ -252,6 +252,12 @@ def _parser():
     p.add_argument('--num_qubits', type=int, default=None)
     p.add_argument('--net_size', type=int, nargs='+', default=None)
     p.add_argument('--scale_coeff', type=float, default=None)
+    p.add_argument('--quantum_backend', default=None,
+                   choices=['mindquantum', 'torchquantum', 'qiskit',
+                            'pennylane', 'jax'],
+                   help='CLI-compat override (reference infer.py:327); '
+                        'every backend maps onto the one JAX engine here, '
+                        'so this only annotates the config')
     p.add_argument('--ham_bound', type=float, nargs=2, default=None)
     return p
 
@@ -318,7 +324,8 @@ def main(argv=None):
 
     overrides = dict(model_type=args.model_type, num_qubits=args.num_qubits,
                      net_size=args.net_size, scale_coeff=args.scale_coeff,
-                     ham_bound=args.ham_bound)
+                     ham_bound=args.ham_bound,
+                     quantum_backend=args.quantum_backend)
     model, params, cfg = load_model(args.ckpt, branch_in=branch_in,
                                     trunk_in=trunk_in, **overrides)
     print(f"Model : {cfg['model_type']}  backend={cfg['_backend']}")
