@@ -104,7 +104,9 @@ def train_bench(metric, operator, net_size, data_cfg, epochs, timed_epochs,
     rel = float(np.linalg.norm(preds - ty) / (np.linalg.norm(ty) + 1e-8))
     emit(metric=metric, value=round(sps, 1), unit="samples/sec",
          vs_baseline=round(sps / baseline_sps, 2), rel_l2=round(rel, 4),
-         epochs=epochs)
+         epochs=epochs,
+         eval_protocol="final-epoch, single seed (bench.py's 3-seed "
+                       "best-epoch band is the headline quality number)")
     return params, model, data
 
 
