@@ -272,13 +272,19 @@ def _make_block_chain(nb, dim, inv_sqrt):
 
 # ── engine entry points ──────────────────────────────────────────────────────
 
-USE_UCOMP = False   # A/B toggle for the Pallas f32 unitary-compile path
-# (ops/pallas_ucomp.py).  Measured on v5e round 3: the kernel is
-# numerically f32-exact but SLOWER than the bf16 XLA path (196-207 vs
-# 147 us/step — ~3000 small in-kernel matmuls at ~0.04 us issue cost
-# beat XLA's op overhead but f32 MXU passes + packing traffic eat the
-# win).  Kept as a verified experiment; the cheap quality fix turned
-# out to be the PHASES einsum precision pin below.
+import os as _os
+USE_UCOMP = _os.environ.get('USE_UCOMP', '0') == '1'
+# A/B toggle for the Pallas unitary-compile path (ops/pallas_ucomp.py).
+# Measured on v5e round 3: the kernel is numerically f32-exact but
+# SLOWER than the bf16 XLA path (196-207 vs 147 us/step — ~3000 small
+# in-kernel matmuls at ~0.04 us issue cost beat XLA's op overhead but
+# f32 MXU passes + packing traffic eat the win).  A bf16-operand
+# variant (UCOMP_BF16=1, single-pass MXU, keeps the 4x issue-count
+# reduction) measured 202.6 us/step — NO better than f32, so the
+# kernel's cost is packing traffic + in-kernel issue overhead, not MXU
+# pass count; don't retry precision tweaks here.  Kept as a verified
+# experiment; the cheap quality fix turned out to be the PHASES einsum
+# precision pin below.
 
 
 def _prepare(spec, weights, x):

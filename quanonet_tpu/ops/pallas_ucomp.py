@@ -67,7 +67,24 @@ def ucomp_applicable(spec) -> bool:
             and spec.n_blocks >= 1)
 
 
+import os
+
+# bf16 operand mode (env A/B toggle): casts every packed matmul's
+# operands to bf16 (single-pass MXU, XLA-default-equivalent numerics)
+# while keeping the kernel's 4x issue-count reduction — trades the f32
+# exactness this kernel was built for against the multi-pass MXU cost
+# that made the f32 variant lose to XLA (round-3 measurement).
+# MEASURED (v5e, profile_step flagship): 202.6 us/step — identical to
+# the f32 variant's 196-207 and still behind the 147 us XLA path, so
+# the kernel's deficit is packing traffic + in-kernel issue overhead,
+# not MXU pass count.  Negative result; kept for reproducibility.
+UCOMP_BF16 = os.environ.get('UCOMP_BF16', '0') == '1'
+
+
 def _dot(a, b):
+    if UCOMP_BF16:
+        return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 

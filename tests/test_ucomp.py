@@ -84,9 +84,11 @@ def test_ucomp_not_applicable_mixed_ld():
     assert not pallas_ucomp.ucomp_applicable(spec)
 
 
-def test_ucomp_under_jit_and_engine_path():
+def test_ucomp_under_jit_and_engine_path(monkeypatch):
     """The pallas engine's _prepare routes through ucomp and still
     matches the dense engine end-to-end (interpret mode on CPU)."""
+    from quanonet_tpu.ops import pallas_hea
+    monkeypatch.setattr(pallas_hea, 'USE_UCOMP', True)
     from quanonet_tpu.ops.hea import hea_expectation
     spec = quanonet_spec(3, (4, 2, 3, 2))
     rng = np.random.RandomState(2)
@@ -101,3 +103,29 @@ def test_ucomp_under_jit_and_engine_path():
                                                engine='pallas'))(w, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=5e-6)
+
+
+def test_ucomp_bf16_mode_close_to_xla(monkeypatch):
+    """UCOMP_BF16=1 casts the packed matmul operands to bf16 (keeping the
+    4x issue-count reduction with XLA-default-equivalent numerics).  The
+    outputs are unitary-magnitude entries, so bf16 rounding stays within
+    ~1e-2 absolute; gradients must remain finite and close."""
+    monkeypatch.setattr(pallas_ucomp, 'UCOMP_BF16', True)
+    spec = quanonet_spec(4, (3, 2, 3, 2))
+    rng = np.random.RandomState(7)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    want_r, want_i = _xla_mts(spec, w)
+    got_r, got_i = pallas_ucomp.compile_block_mats(spec, w)
+    assert got_r.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(got_r), np.asarray(want_r),
+                               atol=3e-2)
+    np.testing.assert_allclose(np.asarray(got_i), np.asarray(want_i),
+                               atol=3e-2)
+
+    def loss_ucomp(w):
+        mr, mi = pallas_ucomp.compile_block_mats(spec, w)
+        return jnp.sum(mr ** 2) + jnp.sum(mi ** 2)
+
+    g = jax.grad(loss_ucomp)(w)
+    assert np.all(np.isfinite(np.asarray(g)))
