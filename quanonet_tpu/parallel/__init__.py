@@ -1,3 +1,4 @@
 from quanonet_tpu.parallel.mesh import (
     make_mesh, shard_batch, replicate, make_dp_train_step,
 )
+from quanonet_tpu.parallel.pipeline import make_pipeline_hea

@@ -1,0 +1,130 @@
+"""
+Pipeline parallelism over the block chain (the 'pp' axis).
+
+The HEA circuit in the Hadamard-diagonal formulation is a depth-wise
+chain (ops/hea._forward_dense):
+
+    ψ = M_B D(x_B) M_{B-1} ... M_1 D(x_1) s0
+
+Amplitude sharding (parallel/amplitude.py) splits the 2^n STATE over
+devices; this module splits the CHAIN: P devices hold P contiguous
+stages of nb/P blocks each, and microbatched states flow device-to-
+device over the ICI ring (jax.lax.ppermute) on a GPipe schedule —
+microbatch m occupies stage p at tick t = m + p, so a batch of M
+microbatches drains in M + P - 1 ticks at 1 - (P-1)/(M+P-1) pipeline
+efficiency.  This targets DEEP chains (large n_blocks — e.g. the
+circuit study's HB=HT=20 nets already run 60 blocks, and block count
+grows linearly with net width) where one device's VMEM can't hold the
+whole chain's working set at large batch; unlike amplitude sharding it
+moves only (mb, 2^n) activations per hop, never the (2^n, 2^n) blocks.
+
+TPU-native design notes:
+ - one jitted lax.scan over ticks; every tick is the same static-shape
+   program (full-MXU Karatsuba matmuls per stage), so XLA overlaps the
+   ppermute hop with the next tick's compute.
+ - stage assignment is lax.axis_index arithmetic inside shard_map —
+   weights/x stay replicated, each device dynamic-slices its own block
+   range, so the SPMD program is identical on every device.
+ - gradients flow through ppermute/scan by plain autodiff (ppermute's
+   transpose is the reverse permute); no hand-written VJP needed.
+
+The reference has no distributed execution at all (SURVEY §5.8: absent;
+its backends are single-process CPU/GPU simulators), so this subsystem
+is new capability, mirrored on "How to Scale Your Model"'s pipelining
+recipe rather than any reference file.
+"""
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from quanonet_tpu.ops.hea import HEASpec, diag_expectation_pair
+from quanonet_tpu.ops.pallas_hea import _prepare
+
+
+def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None):
+    """Build f(weights, x, diag) -> (batch, 1) expectation values with the
+    block chain pipelined over ``mesh``'s ``axis``.
+
+    Requirements: spec.n_blocks divisible by the axis size, batch
+    divisible by n_microbatches (default: the axis size).
+    """
+    n_dev = int(np.prod([mesh.shape[a] for a in (axis,)]))
+    nb = spec.n_blocks
+    if nb % n_dev:
+        raise ValueError(f"n_blocks={nb} not divisible by pipeline "
+                         f"size {n_dev}")
+    per = nb // n_dev
+    M = int(n_microbatches or n_dev)
+    inv_sqrt = float(1.0 / np.sqrt(spec.dim))
+
+    def _stage(p, mt_r, mt_i, phi_mb, sr, si):
+        """Apply this device's `per` blocks (+ trailing encode diagonals)
+        to one resident microbatch.  phi_mb: (nb, mb, D) raw phases."""
+        for k in range(per):
+            b = p * per + k            # global block index (traced)
+            tr = mt_r[k]
+            ti = mt_i[k]
+            t1 = sr @ tr
+            t2 = si @ ti
+            t3 = (sr + si) @ (tr + ti)
+            sr, si = t1 - t2, t3 - t1 - t2
+            # trailing diagonal D(x_{b+1}); the global last block has
+            # none — mask its phase to 0 (cos=1/sin=0 => identity)
+            idx = jnp.minimum(b + 1, nb - 1)
+            ph = lax.dynamic_index_in_dim(phi_mb, idx, 0, keepdims=False)
+            ph = jnp.where(b == nb - 1, 0.0, ph)
+            dr = jnp.cos(ph)
+            di = -jnp.sin(ph)
+            sr, si = dr * sr - di * si, dr * si + di * sr
+        return sr, si
+
+    def body(weights, x, diag):
+        p = lax.axis_index(axis)
+        batch = x.shape[0]
+        mb = batch // M
+        # Dryrun/test scope: every device compiles the full block set and
+        # slices its stage (the compile path is batch-independent and
+        # ~1e2 us; a production deployment would compile stage-locally).
+        mt_r, mt_i, phi = _prepare(spec, weights, x)   # phi: (nb, batch, D)
+        loc_r = lax.dynamic_slice_in_dim(mt_r, p * per, per, 0)
+        loc_i = lax.dynamic_slice_in_dim(mt_i, p * per, per, 0)
+
+        T = M + n_dev - 1
+        perm = [(i, i + 1) for i in range(n_dev - 1)]
+        zero = jnp.zeros((mb, spec.dim), jnp.float32)
+
+        def tick(carry, t):
+            pr, pi_ = carry
+            # devices 1..P-1 receive the left neighbour's last output;
+            # device 0 injects a fresh microbatch instead
+            rr = lax.ppermute(pr, axis, perm)
+            ri = lax.ppermute(pi_, axis, perm)
+            m_p = jnp.clip(t - p, 0, M - 1)     # resident microbatch id
+            phi_mb = lax.dynamic_slice_in_dim(phi, m_p * mb, mb, 1)
+            inj_r = jnp.cos(phi_mb[0]) * inv_sqrt   # D(x_1) · H|0..0>
+            inj_i = -jnp.sin(phi_mb[0]) * inv_sqrt
+            is0 = (p == 0)
+            sr = jnp.where(is0, inj_r, rr)
+            si = jnp.where(is0, inj_i, ri)
+            sr, si = _stage(p, loc_r, loc_i, phi_mb, sr, si)
+            e = diag_expectation_pair(sr, si, diag)     # (mb, 1)
+            return (sr, si), e
+
+        (_, _), es = lax.scan(tick, (zero, zero), jnp.arange(T))
+        # device P-1 emitted microbatch m at tick m + P - 1
+        res = es[n_dev - 1:].reshape(batch, 1)
+        mask = (p == n_dev - 1).astype(res.dtype)
+        return lax.psum(res * mask, axis)
+
+    sm = shard_map(body, mesh=mesh,
+                   in_specs=(P(), P(), P()), out_specs=P(),
+                   check_vma=False)
+
+    def fn(weights, x, diag):
+        return sm(jnp.asarray(weights), jnp.asarray(x), jnp.asarray(diag))
+
+    return fn

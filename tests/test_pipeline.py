@@ -1,0 +1,77 @@
+"""
+Pipeline-parallel block chain (parallel/pipeline.py) vs the dense
+single-device engine: the GPipe schedule over a ppermute ring must be
+an exact reformulation — forward and gradients — on the virtual
+8-device CPU mesh (tests/conftest.py).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental import mesh_utils
+from jax.sharding import Mesh
+
+from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+from quanonet_tpu.ops.hea import hea_expectation, init_ansatz_weights, \
+    quanonet_spec
+from quanonet_tpu.parallel.pipeline import make_pipeline_hea
+
+
+def _mesh(n):
+    return Mesh(mesh_utils.create_device_mesh(
+        (n,), devices=jax.devices()[:n]), ('pipe',))
+
+
+def _case(n_qubits, net, batch, seed=0):
+    spec = quanonet_spec(n_qubits, net)
+    rng = np.random.RandomState(seed)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2, (batch, spec.total_encode))
+                    .astype(np.float32))
+    diag = jnp.asarray(simple_ham_diag(n_qubits, -5, 5))
+    return spec, w, x, diag
+
+
+@pytest.mark.parametrize('n_dev,n_mb', [(4, 4), (4, 2), (8, 4)])
+def test_pipeline_matches_dense(n_dev, n_mb):
+    spec, w, x, diag = _case(3, (4, 1, 4, 1), batch=8)
+    assert spec.n_blocks % n_dev == 0
+    want = np.asarray(hea_expectation(spec, w, x, diag=diag,
+                                      engine='dense'))
+    f = make_pipeline_hea(spec, _mesh(n_dev), n_microbatches=n_mb)
+    got = np.asarray(f(w, x, diag))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_pipeline_gradients_match_dense():
+    spec, w, x, diag = _case(3, (4, 2, 4, 2), batch=4, seed=1)
+    f = make_pipeline_hea(spec, _mesh(4), n_microbatches=2)
+
+    def loss_pipe(w):
+        return jnp.sum(f(w, x, diag) ** 2)
+
+    def loss_dense(w):
+        return jnp.sum(hea_expectation(spec, w, x, diag=diag,
+                                       engine='dense') ** 2)
+
+    g_pipe = np.asarray(jax.grad(loss_pipe)(w))
+    g_dense = np.asarray(jax.grad(loss_dense)(w))
+    np.testing.assert_allclose(g_pipe, g_dense, atol=5e-5, rtol=1e-4)
+
+
+def test_pipeline_under_jit_with_uneven_schedule():
+    """M != P and a deep chain; jitted end-to-end."""
+    spec, w, x, diag = _case(2, (8, 1, 8, 1), batch=12, seed=2)
+    assert spec.n_blocks == 16
+    f = make_pipeline_hea(spec, _mesh(4), n_microbatches=6)
+    got = np.asarray(jax.jit(f)(w, x, diag))
+    want = np.asarray(hea_expectation(spec, w, x, diag=diag,
+                                      engine='dense'))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_pipeline_rejects_indivisible_blocks():
+    spec, w, x, diag = _case(3, (3, 1, 2, 1), batch=8)
+    with pytest.raises(ValueError, match='divisible'):
+        make_pipeline_hea(spec, _mesh(4))
