@@ -43,6 +43,9 @@ def main():
     ap.add_argument('--iters', type=int, default=2000)
     ap.add_argument('--engines', default='pallas,embed,dense')
     ap.add_argument('--cpu', action='store_true')
+    ap.add_argument('--fused_adam', action='store_true',
+                    help='use the one-kernel Adam (ops/pallas_adam.py) '
+                         'in full_step and adam_only')
     ap.add_argument('--out', default=os.path.join(REPO, 'docs',
                                                   'step_profile.json'))
     args = ap.parse_args()
@@ -93,7 +96,11 @@ def main():
         t = jnp.asarray(rng.rand(bs, 2).astype(np.float32))
         y = jnp.asarray(rng.randn(bs, 1).astype(np.float32))
         params = model.init(jax.random.PRNGKey(0), b[:1], t[:1])
-        optimizer = optax.adam(1e-4)
+        if args.fused_adam:
+            from quanonet_tpu.ops.pallas_adam import fused_adam
+            optimizer = fused_adam(1e-4)
+        else:
+            optimizer = optax.adam(1e-4)
         opt_state = optimizer.init(params)
 
         def loss_fn(p):
@@ -105,8 +112,11 @@ def main():
                 def step(c, _):
                     p, o = c
                     l, g = jax.value_and_grad(loss_fn)(p)
-                    up, o = optimizer.update(g, o, p)
-                    p = optax.apply_updates(p, up)
+                    if args.fused_adam:
+                        p, o = optimizer.fused_step(g, o, p)
+                    else:
+                        up, o = optimizer.update(g, o, p)
+                        p = optax.apply_updates(p, up)
                     return (p, o), l
                 (p, o), ls = jax.lax.scan(step, carry, None, length=iters)
                 return (jax.tree_util.tree_map(
@@ -165,7 +175,11 @@ def main():
     b = jnp.asarray(rng.randn(1, 100).astype(np.float32))
     t = jnp.asarray(rng.rand(1, 2).astype(np.float32))
     params = model.init(jax.random.PRNGKey(0), b, t)
-    optimizer = optax.adam(1e-4)
+    if args.fused_adam:
+        from quanonet_tpu.ops.pallas_adam import fused_adam
+        optimizer = fused_adam(1e-4)
+    else:
+        optimizer = optax.adam(1e-4)
     opt_state = optimizer.init(params)
     grads = jax.tree_util.tree_map(lambda a: a * 1e-3, params)
 
@@ -174,8 +188,11 @@ def main():
         def run(carry):
             def step(c, _):
                 p, o = c
-                up, o = optimizer.update(grads, o, p)
-                p = optax.apply_updates(p, up)
+                if args.fused_adam:
+                    p, o = optimizer.fused_step(grads, o, p)
+                else:
+                    up, o = optimizer.update(grads, o, p)
+                    p = optax.apply_updates(p, up)
                 return (p, o), None
             c, _ = jax.lax.scan(step, carry, None, length=iters)
             return c
