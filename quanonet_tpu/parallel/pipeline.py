@@ -45,12 +45,19 @@ from quanonet_tpu.ops.hea import HEASpec, diag_expectation_pair
 from quanonet_tpu.ops.pallas_hea import _prepare
 
 
-def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None):
+def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
+                      data_axis=None):
     """Build f(weights, x, diag) -> (batch, 1) expectation values with the
     block chain pipelined over ``mesh``'s ``axis``.
 
-    Requirements: spec.n_blocks divisible by the axis size, batch
-    divisible by n_microbatches (default: the axis size).
+    ``data_axis``: optional second mesh axis to ALSO shard the batch over
+    (dp x pp composition: each data-shard runs its own pipeline over the
+    'pipe' axis; weights stay replicated).  The per-shard batch (global
+    batch / data size) must then divide by n_microbatches.
+
+    Requirements: spec.n_blocks divisible by the pipe-axis size, the
+    (per-shard) batch divisible by n_microbatches (default: the
+    pipe-axis size).
     """
     n_dev = int(np.prod([mesh.shape[a] for a in (axis,)]))
     nb = spec.n_blocks
@@ -120,8 +127,11 @@ def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None):
         mask = (p == n_dev - 1).astype(res.dtype)
         return lax.psum(res * mask, axis)
 
+    # x's batch axis (and the per-shard output) shard over data_axis when
+    # composing dp x pp; weights/diag stay replicated either way
+    x_spec = P(data_axis) if data_axis else P()
     sm = shard_map(body, mesh=mesh,
-                   in_specs=(P(), P(), P()), out_specs=P(),
+                   in_specs=(P(), x_spec, P()), out_specs=x_spec,
                    check_vma=False)
 
     def fn(weights, x, diag):

@@ -75,3 +75,23 @@ def test_pipeline_rejects_indivisible_blocks():
     spec, w, x, diag = _case(3, (3, 1, 2, 1), batch=8)
     with pytest.raises(ValueError, match='divisible'):
         make_pipeline_hea(spec, _mesh(4))
+
+
+def test_pipeline_composed_with_data_parallel():
+    """dp x pp on a (2, 4) mesh: batch sharded over 'data', each shard
+    running a 4-stage pipeline over 'pipe'; must equal the dense engine
+    on the full batch."""
+    spec, w, x, diag = _case(3, (4, 1, 4, 1), batch=16, seed=3)
+    mesh = Mesh(mesh_utils.create_device_mesh((2, 4)), ('data', 'pipe'))
+    f = make_pipeline_hea(spec, mesh, n_microbatches=2, data_axis='data')
+    got = np.asarray(f(w, x, diag))
+    want = np.asarray(hea_expectation(spec, w, x, diag=diag,
+                                      engine='dense'))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+    g_pipe = np.asarray(jax.grad(
+        lambda w_: jnp.sum(f(w_, x, diag) ** 2))(w))
+    g_dense = np.asarray(jax.grad(
+        lambda w_: jnp.sum(hea_expectation(spec, w_, x, diag=diag,
+                                           engine='dense') ** 2))(w))
+    np.testing.assert_allclose(g_pipe, g_dense, atol=5e-5, rtol=1e-4)
