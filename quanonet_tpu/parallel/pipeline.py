@@ -25,8 +25,18 @@ TPU-native design notes:
  - stage assignment is lax.axis_index arithmetic inside shard_map —
    weights/x stay replicated, each device dynamic-slices its own block
    range, so the SPMD program is identical on every device.
+ - STAGE-LOCAL COMPILE: when every block has the same (n_qubits,
+   linear_depth) structure — true for all QuanONet/HEAQNN nets — each
+   device compiles only its own nb/P blocks from its slice of the
+   weights (one static sub-spec shared by all stages; the global-last
+   block's missing left Hadamard is a where-mask).  Unitary-compile
+   cost and its memory then scale 1/P per device, matching how the
+   chain itself is sharded.  Non-uniform specs fall back to
+   compile-everything-and-slice.
  - gradients flow through ppermute/scan by plain autodiff (ppermute's
-   transpose is the reverse permute); no hand-written VJP needed.
+   transpose is the reverse permute; the weight-slice cotangents psum
+   back through shard_map's replicated-input rule); no hand-written
+   VJP needed.
 
 The reference has no distributed execution at all (SURVEY §5.8: absent;
 its backends are single-process CPU/GPU simulators), so this subsystem
@@ -38,15 +48,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import PartitionSpec as P
 from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
+from quanonet_tpu.ops import hea as _hea
+from quanonet_tpu.ops.gates import hadamard_kron, z_signs
 from quanonet_tpu.ops.hea import HEASpec, diag_expectation_pair
-from quanonet_tpu.ops.pallas_hea import _prepare
 
 
 def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
-                      data_axis=None):
+                      data_axis=None, stage_local_compile=None):
     """Build f(weights, x, diag) -> (batch, 1) expectation values with the
     block chain pipelined over ``mesh``'s ``axis``.
 
@@ -54,6 +65,11 @@ def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
     (dp x pp composition: each data-shard runs its own pipeline over the
     'pipe' axis; weights stay replicated).  The per-shard batch (global
     batch / data size) must then divide by n_microbatches.
+
+    ``stage_local_compile``: compile only this device's blocks from its
+    weight slice (defaults to on for uniform block structure, the
+    production mode); False forces the compile-everything-and-slice
+    fallback.
 
     Requirements: spec.n_blocks divisible by the pipe-axis size, the
     (per-shard) batch divisible by n_microbatches (default: the
@@ -66,11 +82,65 @@ def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
                          f"size {n_dev}")
     per = nb // n_dev
     M = int(n_microbatches or n_dev)
-    inv_sqrt = float(1.0 / np.sqrt(spec.dim))
+    n = spec.n_qubits
+    D = spec.dim
+    inv_sqrt = float(1.0 / np.sqrt(D))
+
+    uniform = len(set(spec.block_configs)) == 1
+    if stage_local_compile is None:
+        stage_local_compile = uniform
+    if stage_local_compile and not uniform:
+        raise ValueError("stage-local compile requires uniform block "
+                         "structure (all blocks same (n_enc, ld))")
+    sub_spec = HEASpec(n, spec.block_configs[:per]) if stage_local_compile \
+        else None
+    ld = spec.block_configs[0][1]
+
+    def _fold(p, ur, ui):
+        """M_b = H U_b H (global-last block: U_b H), pre-transposed.
+        ur/ui: (per, D, D) local block unitaries."""
+        hk = jnp.asarray(hadamard_kron(n))
+        uh_r = ur @ hk
+        uh_i = ui @ hk
+        is_last = ((p * per + jnp.arange(per)) == nb - 1)[:, None, None]
+        m_r = jnp.where(is_last, uh_r, hk[None] @ uh_r)
+        m_i = jnp.where(is_last, uh_i, hk[None] @ uh_i)
+        return m_r.transpose(0, 2, 1), m_i.transpose(0, 2, 1)
+
+    def _local_mt_phi(p, weights, x):
+        """This stage's pre-transposed block matrices (per, D, D) and the
+        phi rows it consumes: (per+1, batch, D) = phases of blocks
+        p*per .. p*per+per (row 0 feeds injection on device 0 only;
+        rows 1..per are the trailing diagonals; the row past the global
+        end is a clamped duplicate, masked out in _stage)."""
+        batch = x.shape[0]
+        if stage_local_compile:
+            S_loc = per * ld
+            w_loc = lax.dynamic_slice_in_dim(weights, p * S_loc, S_loc, 0)
+            ur, ui = _hea.compile_block_unitaries(sub_spec, w_loc)
+            mt_r, mt_i = _fold(p, ur, ui)
+            xb = x.reshape(batch, nb, n).transpose(1, 0, 2)
+            xb = jnp.concatenate([xb, xb[-1:]], 0)       # clamp row nb
+            xb_loc = lax.dynamic_slice_in_dim(xb, p * per, per + 1, 0)
+            # PRECISION PIN: same quality-critical K=n dot as
+            # pallas_hea._prepare (bf16 phase rounding random-walks
+            # over the chain)
+            phi_loc = 0.5 * jnp.einsum(
+                'bxn,dn->bxd', xb_loc, jnp.asarray(z_signs(n)),
+                precision=jax.lax.Precision.HIGHEST)
+        else:
+            from quanonet_tpu.ops.pallas_hea import _prepare
+            mt_r, mt_i, phi = _prepare(spec, weights, x)
+            mt_r = lax.dynamic_slice_in_dim(mt_r, p * per, per, 0)
+            mt_i = lax.dynamic_slice_in_dim(mt_i, p * per, per, 0)
+            phi = jnp.concatenate([phi, phi[-1:]], 0)
+            phi_loc = lax.dynamic_slice_in_dim(phi, p * per, per + 1, 0)
+        return mt_r, mt_i, phi_loc
 
     def _stage(p, mt_r, mt_i, phi_mb, sr, si):
         """Apply this device's `per` blocks (+ trailing encode diagonals)
-        to one resident microbatch.  phi_mb: (nb, mb, D) raw phases."""
+        to one resident microbatch.  phi_mb: (per+1, mb, D) local raw
+        phases."""
         for k in range(per):
             b = p * per + k            # global block index (traced)
             tr = mt_r[k]
@@ -81,9 +151,7 @@ def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
             sr, si = t1 - t2, t3 - t1 - t2
             # trailing diagonal D(x_{b+1}); the global last block has
             # none — mask its phase to 0 (cos=1/sin=0 => identity)
-            idx = jnp.minimum(b + 1, nb - 1)
-            ph = lax.dynamic_index_in_dim(phi_mb, idx, 0, keepdims=False)
-            ph = jnp.where(b == nb - 1, 0.0, ph)
+            ph = jnp.where(b == nb - 1, 0.0, phi_mb[k + 1])
             dr = jnp.cos(ph)
             di = -jnp.sin(ph)
             sr, si = dr * sr - di * si, dr * si + di * sr
@@ -93,16 +161,11 @@ def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
         p = lax.axis_index(axis)
         batch = x.shape[0]
         mb = batch // M
-        # Dryrun/test scope: every device compiles the full block set and
-        # slices its stage (the compile path is batch-independent and
-        # ~1e2 us; a production deployment would compile stage-locally).
-        mt_r, mt_i, phi = _prepare(spec, weights, x)   # phi: (nb, batch, D)
-        loc_r = lax.dynamic_slice_in_dim(mt_r, p * per, per, 0)
-        loc_i = lax.dynamic_slice_in_dim(mt_i, p * per, per, 0)
+        loc_r, loc_i, phi_loc = _local_mt_phi(p, weights, x)
 
         T = M + n_dev - 1
         perm = [(i, i + 1) for i in range(n_dev - 1)]
-        zero = jnp.zeros((mb, spec.dim), jnp.float32)
+        zero = jnp.zeros((mb, D), jnp.float32)
 
         def tick(carry, t):
             pr, pi_ = carry
@@ -111,7 +174,7 @@ def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
             rr = lax.ppermute(pr, axis, perm)
             ri = lax.ppermute(pi_, axis, perm)
             m_p = jnp.clip(t - p, 0, M - 1)     # resident microbatch id
-            phi_mb = lax.dynamic_slice_in_dim(phi, m_p * mb, mb, 1)
+            phi_mb = lax.dynamic_slice_in_dim(phi_loc, m_p * mb, mb, 1)
             inj_r = jnp.cos(phi_mb[0]) * inv_sqrt   # D(x_1) · H|0..0>
             inj_i = -jnp.sin(phi_mb[0]) * inv_sqrt
             is0 = (p == 0)

@@ -95,3 +95,48 @@ def test_pipeline_composed_with_data_parallel():
         lambda w_: jnp.sum(hea_expectation(spec, w_, x, diag=diag,
                                            engine='dense') ** 2))(w))
     np.testing.assert_allclose(g_pipe, g_dense, atol=5e-5, rtol=1e-4)
+
+
+def test_pipeline_heaqnn_spec():
+    """Single-stream HEAQNN chains pipeline identically (block structure
+    is spec-driven, not model-specific)."""
+    from quanonet_tpu.ops.hea import heaqnn_spec
+    spec = heaqnn_spec(3, (8, 2))
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2, (8, spec.total_encode))
+                    .astype(np.float32))
+    diag = jnp.asarray(simple_ham_diag(3, -5, 5))
+    f = make_pipeline_hea(spec, _mesh(4), n_microbatches=4)
+    got = np.asarray(f(w, x, diag))
+    want = np.asarray(hea_expectation(spec, w, x, diag=diag,
+                                      engine='dense'))
+    np.testing.assert_allclose(got, want, atol=5e-6)
+
+
+def test_stage_local_equals_full_compile():
+    """The production stage-local compile path and the
+    compile-everything fallback are the same function."""
+    spec, w, x, diag = _case(3, (4, 2, 4, 2), batch=8, seed=6)
+    mesh = _mesh(4)
+    f_loc = make_pipeline_hea(spec, mesh, n_microbatches=2,
+                              stage_local_compile=True)
+    f_full = make_pipeline_hea(spec, mesh, n_microbatches=2,
+                               stage_local_compile=False)
+    a = np.asarray(f_loc(w, x, diag))
+    b = np.asarray(f_full(w, x, diag))
+    np.testing.assert_allclose(a, b, atol=2e-6)
+
+    g_loc = np.asarray(jax.grad(
+        lambda w_: jnp.sum(f_loc(w_, x, diag) ** 2))(w))
+    g_full = np.asarray(jax.grad(
+        lambda w_: jnp.sum(f_full(w_, x, diag) ** 2))(w))
+    np.testing.assert_allclose(g_loc, g_full, atol=2e-5, rtol=1e-4)
+
+
+def test_stage_local_rejects_nonuniform():
+    from quanonet_tpu.ops.hea import HEASpec
+    spec = HEASpec(3, ((3, 1), (3, 1), (3, 2), (3, 2)))
+    with pytest.raises(ValueError, match='uniform'):
+        make_pipeline_hea(spec, _mesh(4), stage_local_compile=True)
