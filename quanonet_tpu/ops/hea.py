@@ -405,6 +405,9 @@ FUSED_MIN_QUBITS = 8  # auto switches to the grouped-kron path here:
 #                       (31 MiB at Q8), past the comfortable scoped limit.
 
 
+ENGINES = ('dense', 'gates', 'fused', 'pallas', 'embed')
+
+
 def resolve_engine(engine: str, n_qubits: int) -> str:
     if engine in ('auto', None):
         if n_qubits >= FUSED_MIN_QUBITS:
@@ -412,6 +415,9 @@ def resolve_engine(engine: str, n_qubits: int) -> str:
         # fused Pallas chain on TPU (falls back to dense beyond its VMEM
         # budget); interpret-mode Pallas is slow on CPU, use dense there
         return 'pallas' if jax.default_backend() == 'tpu' else 'dense'
+    if engine not in ENGINES:
+        raise ValueError(f"unknown engine '{engine}' "
+                         f"(choose from {('auto',) + ENGINES})")
     return engine
 
 
