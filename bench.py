@@ -251,17 +251,33 @@ def main():
                 f"{time.time() - t0:.1f}s (best loss {l0:.4f})")
 
         # timed region (run 0 only): same program shape, zero recompiles
-        timed_segs = max(1, min(n_segs - 1, 3))
-        t0 = time.time()
-        for i in range(1, 1 + timed_segs):
-            params, opt_state, best_loss, best_params, hist = run_segment(
-                params, opt_state, best_loss, best_params, seg_keys[i],
-                inputs, target)
-        _sync = float(best_loss)
-        dt = time.time() - t0
+        timed_segs = min(n_segs - 1, 3)
+        if timed_segs > 0:
+            t0 = time.time()
+            for i in range(1, 1 + timed_segs):
+                params, opt_state, best_loss, best_params, hist = \
+                    run_segment(params, opt_state, best_loss, best_params,
+                                seg_keys[i], inputs, target)
+            _sync = float(best_loss)
+            dt = time.time() - t0
+            timed_epochs = timed_segs * seg
+        else:
+            # single-segment regime (epochs == segment size): time a
+            # throwaway replay of the already-compiled program from a
+            # fresh init so the training trajectory stays exactly
+            # `epochs` long
+            p2 = model.init(seed_key, branch[:1], trunk[:1])
+            o2 = optimizer.init(p2)
+            b2 = jnp.asarray(np.inf, jnp.float32)
+            t0 = time.time()
+            _p, _o, b2, _bp, _h = run_segment(p2, o2, b2, p2, seg_keys[0],
+                                              inputs, target)
+            _sync = float(b2)
+            dt = time.time() - t0
+            timed_epochs = seg
         if run == 0:
-            sps = timed_segs * seg * n / dt
-            log(f"timed: {timed_segs * seg} epochs x {n} samples in "
+            sps = timed_epochs * n / dt
+            log(f"timed: {timed_epochs} epochs x {n} samples in "
                 f"{dt:.2f}s => {sps:,.0f} samples/sec")
 
         # finish the regime; the last f32_tail segments retrace the SAME

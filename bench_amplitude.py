@@ -34,7 +34,11 @@ import os
 import sys
 import time
 
-_SHARD_COMPUTE = "--shard-compute" in sys.argv
+# pre-parse (argparse semantics incl. prefix abbreviation) — the flag
+# decides platform env vars that must be set BEFORE jax imports
+_pre = argparse.ArgumentParser(add_help=False)
+_pre.add_argument("--shard-compute", action="store_true")
+_SHARD_COMPUTE = _pre.parse_known_args()[0].shard_compute
 
 if not _SHARD_COMPUTE:
     os.environ.setdefault("XLA_FLAGS",

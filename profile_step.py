@@ -70,16 +70,19 @@ def main():
     rng = np.random.RandomState(0)
     results = {}
 
-    def timed(name, make_scan_fn, init_carry):
-        """make_scan_fn: () -> jitted fn(carry) -> carry with a scalar
-        'sync' leaf; runs twice (compile+warm, then timed)."""
+    def timed(name, make_scan_fn, init_carry, extra=()):
+        """make_scan_fn: () -> jitted fn(carry, *extra) -> carry with a
+        scalar 'sync' leaf; runs twice (compile+warm, then timed).
+        Data arrays go through ``extra`` as jit ARGUMENTS — closed-over
+        device arrays lower as MLIR constants (CLAUDE.md: the tunnel
+        fails the copy for large ones)."""
         fn = make_scan_fn()
         t0 = time.time()
-        c = fn(init_carry)
+        c = fn(init_carry, *extra)
         sync = float(jax.tree_util.tree_leaves(c)[0].ravel()[0])
         log(f"  {name}: compile+warm {time.time() - t0:.1f}s")
         t0 = time.time()
-        c = fn(init_carry)
+        c = fn(init_carry, *extra)
         sync = float(jax.tree_util.tree_leaves(c)[0].ravel()[0])
         dt = time.time() - t0
         us = dt / iters * 1e6
@@ -103,15 +106,15 @@ def main():
             optimizer = optax.adam(1e-4)
         opt_state = optimizer.init(params)
 
-        def loss_fn(p):
+        def loss_fn(p, b, t, y):
             return jnp.mean((model.apply(p, b, t) - y) ** 2)
 
         def make_full():
             @jax.jit
-            def run(carry):
+            def run(carry, b, t, y):
                 def step(c, _):
                     p, o = c
-                    l, g = jax.value_and_grad(loss_fn)(p)
+                    l, g = jax.value_and_grad(loss_fn)(p, b, t, y)
                     if args.fused_adam:
                         p, o = optimizer.fused_step(g, o, p)
                     else:
@@ -125,28 +128,29 @@ def main():
 
         def make_fwd():
             @jax.jit
-            def run(p):
+            def run(p, b, t, y):
                 def step(c, _):
-                    return c + jnp.mean(model.apply(params, b, t)) * 1e-9, None
+                    return c + jnp.mean(model.apply(p, b, t)) * 1e-9, None
                 c, _ = jax.lax.scan(step, jnp.float32(0), None, length=iters)
                 return c
             return run
 
-        return model, params, opt_state, make_full, make_fwd
+        return model, params, opt_state, make_full, make_fwd, (b, t, y)
 
     engines = args.engines.split(',')
     for engine in engines:
-        model, params, opt_state, make_full, make_fwd = \
+        model, params, opt_state, make_full, make_fwd, data = \
             model_step_timer(engine, 100)
-        timed(f'full_step[{engine}] bs=100', make_full, (params, opt_state))
-        timed(f'fwd_only[{engine}] bs=100', make_fwd, params)
+        timed(f'full_step[{engine}] bs=100', make_full, (params, opt_state),
+              data)
+        timed(f'fwd_only[{engine}] bs=100', make_fwd, params, data)
 
     # batch sweep on the default engine
     for bs in (400, 1600):
-        _, params, opt_state, make_full, _ = \
+        _, params, opt_state, make_full, _, data = \
             model_step_timer(engines[0], bs)
         timed(f'full_step[{engines[0]}] bs={bs}', make_full,
-              (params, opt_state))
+              (params, opt_state), data)
 
     # compile-path only: fwd+bwd of the block-unitary construction
     spec = quanonet_spec(5, (40, 2, 20, 2))
@@ -185,7 +189,7 @@ def main():
 
     def make_adam():
         @jax.jit
-        def run(carry):
+        def run(carry, grads):
             def step(c, _):
                 p, o = c
                 if args.fused_adam:
@@ -197,7 +201,7 @@ def main():
             c, _ = jax.lax.scan(step, carry, None, length=iters)
             return c
         return run
-    timed('adam_only', make_adam, (params, opt_state))
+    timed('adam_only', make_adam, (params, opt_state), (grads,))
 
     results['platform'] = platform
     results['iters'] = iters

@@ -275,8 +275,10 @@ def fetch_ibm_job(job_id):
         raise ImportError(
             "qiskit is not installed in this environment; fetch the job "
             "from a qiskit-enabled machine "
-            "(QiskitRuntimeService().job(id).result()[0].data.evs).")
+            "(concatenate r.data.evs over QiskitRuntimeService()"
+            ".job(id).result()).")
     import os
+    import numpy as _np
     from qiskit_ibm_runtime import QiskitRuntimeService
 
     token = os.getenv("QISKIT_IBM_TOKEN")
@@ -287,4 +289,9 @@ def fetch_ibm_job(job_id):
     if status != "DONE":
         return None, status
     backend_name = job.backend().name if job.backend() else "Unknown"
-    return job.result()[0].data.evs, backend_name
+    # submit_to_ibm runs ONE pub per exported circuit (the reference's
+    # ibm_inference.py:223-243 uses a single parameterized pub instead) —
+    # gather every pub's expectation values, not just pub 0's.
+    evs = _np.concatenate(
+        [_np.atleast_1d(_np.asarray(r.data.evs)) for r in job.result()])
+    return evs, backend_name

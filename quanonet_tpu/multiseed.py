@@ -93,11 +93,9 @@ def _train_seeds_sequential(config, seeds):
         # Skip completed seeds HERE: Solver.train() handles resume with
         # sys.exit(0) (the reference's per-process semantics), which would
         # terminate the whole loop after the first completed seed and
-        # silently skip the rest.
-        lg = ExperimentLogger(cfg_s, base_output_dir=prefix)
-        already_done = lg.is_completed()
-        lg.close()
-        if already_done:
+        # silently skip the rest.  Side-effect-free probe: constructing
+        # a logger would drop an empty TB event file per seed.
+        if ExperimentLogger.completed(cfg_s, base_output_dir=prefix):
             print(f"⏩ [Resume] Seed {s} already completed; skipping.")
             out[s] = None
             continue
@@ -123,16 +121,18 @@ def train_multi_seed(config):
 
     # per-seed experiment dirs; completed seeds are dropped from the
     # vmapped batch (per-seed resume, matching the reference's
-    # per-process skip) instead of retraining and overwriting them
-    loggers = {}
-    for s in seeds:
+    # per-process skip) instead of retraining and overwriting them.
+    # Probe completion side-effect-free first; build loggers only for
+    # the seeds that will actually train.
+    def _cfg_for(s):
         cfg_s = dict(config)
         cfg_s['seed'] = s
         cfg_s.pop('multi_seed', None)
-        loggers[s] = ExperimentLogger(cfg_s, base_output_dir=prefix)
-    done_seeds = [s for s in seeds if loggers[s].is_completed()]
-    for s in done_seeds:
-        loggers[s].close()
+        return cfg_s
+
+    done_seeds = [s for s in seeds
+                  if ExperimentLogger.completed(_cfg_for(s),
+                                                base_output_dir=prefix)]
     if len(done_seeds) == len(seeds):
         print("⏩ [Resume] All seeds already completed. Skipping.")
         return {s: None for s in seeds}
@@ -141,6 +141,8 @@ def train_multi_seed(config):
               f"training the rest.")
     seeds = [s for s in seeds if s not in done_seeds]
     n_seeds = len(seeds)
+    loggers = {s: ExperimentLogger(_cfg_for(s), base_output_dir=prefix)
+               for s in seeds}
 
     model_type = config['model_type']
 

@@ -91,7 +91,10 @@ class FusedAdam:
     def fused_step(self, grads, state, params):
         count, mu, nu = state
         t = count + 1.0
-        lr = (self.learning_rate(t) if callable(self.learning_rate)
+        # optax.adam evaluates schedules at the PRE-increment count
+        # (optax.scale_by_learning_rate sees `count` before this step's
+        # inc) — match it so a solver-built schedule is a drop-in
+        lr = (self.learning_rate(count) if callable(self.learning_rate)
               else self.learning_rate)
         p_leaves, treedef = jax.tree_util.tree_flatten(params)
         g_leaves = treedef.flatten_up_to(grads)

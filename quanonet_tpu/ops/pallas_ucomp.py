@@ -97,11 +97,16 @@ def _kara(ar, ai, br, bi):
 
 
 def _ucomp_bytes(ng, ld, gd):
-    """VMEM estimate, (8,128) tile padding: 3 packed (ng*ld, gd, gd)
-    inputs, 2 (ng, gd, gd) outputs + constants + ~10 live temporaries."""
+    """VMEM estimate, (8,128) tile padding, sized for the LARGER of the
+    two kernels sharing these CompilerParams: fwd = 3 packed (ng*ld,
+    gd, gd) inputs + 2 (ng, gd, gd) outputs; bwd adds 3*ng*ld cotangent
+    OUTPUTS, gr/gi (2*ng) inputs, rp (ng) and ~4*ld extra live
+    residual/temp panes per group — the bwd dominates."""
     dl = -(-gd // 128) * 128
     ds = -(-gd // 8) * 8
-    return 4 * ((3 * ng * ld + 2 * ng + 3) * ds * dl + 10 * ds * dl)
+    fwd_panes = (3 * ng * ld + 2 * ng + 3) + 10
+    bwd_panes = (6 * ng * ld + 3 * ng + 3) + 10 + 4 * ld
+    return 4 * max(fwd_panes, bwd_panes) * ds * dl
 
 
 def _maybe_raise(ng, ld, gd):

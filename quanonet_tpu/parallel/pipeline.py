@@ -198,6 +198,19 @@ def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
                    check_vma=False)
 
     def fn(weights, x, diag):
+        batch = x.shape[0]
+        shard = batch
+        if data_axis:
+            d_size = mesh.shape[data_axis]
+            if batch % d_size:
+                raise ValueError(
+                    f"batch={batch} not divisible by data-axis size "
+                    f"{d_size}")
+            shard = batch // d_size
+        if shard % M:
+            raise ValueError(
+                f"per-shard batch {shard} not divisible by "
+                f"n_microbatches={M}")
         return sm(jnp.asarray(weights), jnp.asarray(x), jnp.asarray(diag))
 
     return fn

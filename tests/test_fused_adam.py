@@ -58,9 +58,9 @@ def test_matches_optax_constant_lr():
 def test_matches_optax_with_schedule():
     sched = optax.exponential_decay(1e-2, 1, 0.95)
     params = _tree(seed=1)
-    # optax schedules index from step 0; FusedAdam passes t = count+1
-    got = _run(fused_adam(lambda t: sched(t - 1.0)), params, 10,
-               fused=True)
+    # schedules are evaluated at the pre-increment count, exactly as
+    # optax.adam does — a solver-built schedule is a drop-in
+    got = _run(fused_adam(sched), params, 10, fused=True)
     want = _run(optax.adam(sched), params, 10, fused=False)
     _assert_trees_close(got, want, atol=2e-6, rtol=1e-5)
 
