@@ -126,3 +126,53 @@ def test_manager_pde_trunk_is_2d(tmp_path):
     d = DataManager(cfg, data_dir=str(tmp_path / 'proc')).get_data()
     assert d['train_trunk_input'].shape == (12, 2)
     assert d['train_branch_input'].shape == (12, 16)
+
+
+# ── encoder byte contract ────────────────────────────────────────────────────
+# The encoders must emit byte-identical arrays to the reference's
+# data_processing.py (shared dataset-cache files).  These hashes were
+# captured from the straight-port implementation; any change to RNG
+# draw order, gather semantics, or dtype flow breaks them.
+
+def _fake_ode_gen(num_train, num_test, num_points, num_points_0,
+                  num_cal=None):
+    rng = np.random.RandomState(7)
+    return (rng.randn(num_train, num_points_0),
+            rng.randn(num_train, num_points),
+            rng.randn(num_test, num_points_0),
+            rng.randn(num_test, num_points),
+            np.linspace(0, 1, num_points))
+
+
+def _fake_pde_gen(num_train, num_test, num_points, num_points_0,
+                  num_cal=None):
+    rng = np.random.RandomState(9)
+    return (rng.randn(num_train, num_points_0),
+            rng.randn(num_train, num_points, num_points),
+            rng.randn(num_test, num_points_0),
+            rng.randn(num_test, num_points, num_points),
+            np.linspace(0, 1, num_points),
+            np.linspace(0, 2, num_points))
+
+
+def _digest(arrays):
+    import hashlib
+    h = hashlib.sha256()
+    for a in arrays:
+        if a is not None:
+            h.update(np.ascontiguousarray(a).tobytes())
+    return h.hexdigest()[:16]
+
+
+def test_encoder_byte_contract():
+    from quanonet_tpu.data import processing as P
+    np.random.seed(0)
+    assert _digest(P.ode_encode(_fake_ode_gen, 6, 4, 50, 30, 12, 8)) == \
+        '64f33c0553394619'
+    np.random.seed(1)
+    assert _digest(P.pde_encode(_fake_pde_gen, 5, 3, 20, 10, 15, 9)) == \
+        '931419705a951aae'
+    assert _digest(P.ode_fncode(_fake_ode_gen, 6, 4, 40)) == \
+        'b1de8fb7d8d30df8'
+    assert _digest(P.pde_fncode(_fake_pde_gen, 5, 3, 20)) == \
+        '34359d25786035ba'
