@@ -124,6 +124,33 @@ def main():
                          'docstring / docs/BENCHMARKS.md).')
     args = ap.parse_args()
 
+    tpu_unreachable = False
+    if not args.cpu:
+        # The tunneled TPU can wedge (device enumeration hangs forever,
+        # observed round 3).  Probe it in a killable subprocess before
+        # committing this process to the axon backend; fall back to CPU
+        # with an honest flag in the JSON rather than hanging the
+        # driver.  3 x 300s covers the ~90s cold-start with margin.
+        import subprocess
+        probe_s = int(os.environ.get('BENCH_TPU_PROBE_TIMEOUT', '300'))
+        for attempt in range(3):
+            try:
+                r = subprocess.run(
+                    [sys.executable, '-c',
+                     'import jax; print(jax.devices()[0].platform)'],
+                    capture_output=True, text=True, timeout=probe_s)
+                if r.returncode == 0:
+                    break
+            except subprocess.TimeoutExpired:
+                pass
+            log(f"TPU probe attempt {attempt + 1}/3 failed")
+            time.sleep(min(30, probe_s))
+        else:
+            log("TPU unreachable after 3 probes; falling back to CPU "
+                "(JSON will carry tpu_unreachable=true)")
+            tpu_unreachable = True
+            args.cpu = True
+
     import jax
     if args.cpu:
         jax.config.update('jax_platforms', 'cpu')
@@ -347,6 +374,7 @@ def main():
         "matmul_precision": args.precision or 'default',
         "f32_tail_segs": f32_tail,
         "platform": platform,
+        **({"tpu_unreachable": True} if tpu_unreachable else {}),
         "model_tflops_per_sec": (round(model_tflops, 4)
                                  if model_tflops is not None else None),
         "mfu_pct": round(mfu * 100, 4) if mfu is not None else None,
