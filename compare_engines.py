@@ -272,7 +272,25 @@ def main():
     # throughput 722K -> 483K samples/s) but which perturbs the engines
     # differently (the dense/pallas paths are matmul-heavy, the gates
     # path is matmul-free) by ~1e-2 — far above the 1e-4 contract.
+    # The tunneled TPU can wedge (device enumeration hangs forever).
+    # Probe it in a killable subprocess first; if unreachable, run the
+    # gate on CPU (Pallas interpreted — still checks numerics, not
+    # Mosaic) rather than hanging.  Same pattern as bench.py.
+    if '--cpu' not in sys.argv and os.environ.get('JAX_PLATFORMS') != 'cpu':
+        import subprocess
+        probe_s = int(os.environ.get('BENCH_TPU_PROBE_TIMEOUT', '300'))
+        try:
+            subprocess.run(
+                [sys.executable, '-c', 'import jax; jax.devices()'],
+                capture_output=True, timeout=probe_s, check=True)
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            print("TPU unreachable; running the consistency gate on CPU "
+                  "(numerics only — Mosaic compile NOT exercised)")
+            sys.argv.append('--cpu')
+
     import jax
+    if '--cpu' in sys.argv:
+        jax.config.update('jax_platforms', 'cpu')
     jax.config.update('jax_default_matmul_precision', 'highest')
 
     groups = [test_quanonet_engines, test_heaqnn_engines, test_ham_variants,
