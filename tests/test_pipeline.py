@@ -140,3 +140,19 @@ def test_stage_local_rejects_nonuniform():
     spec = HEASpec(3, ((3, 1), (3, 1), (3, 2), (3, 2)))
     with pytest.raises(ValueError, match='uniform'):
         make_pipeline_hea(spec, _mesh(4), stage_local_compile=True)
+
+
+def test_batch_divisibility_errors():
+    """Clear ValueErrors at call time, not opaque reshape failures deep
+    inside shard_map."""
+    spec, w, x, diag = _case(3, (4, 2, 4, 2), batch=10, seed=7)
+    mesh = _mesh(4)
+    fn = make_pipeline_hea(spec, mesh)   # M defaults to 4; 10 % 4 != 0
+    with pytest.raises(ValueError, match='n_microbatches'):
+        fn(w, x, diag)
+
+    fn2 = make_pipeline_hea(spec, mesh, axis='pipe', data_axis=None,
+                            n_microbatches=2)
+    # batch 10 % 2 == 0 -> runs fine
+    out = np.asarray(fn2(w, x, diag))
+    assert out.shape == (10, 1)
