@@ -107,6 +107,8 @@ def main():
     ap.add_argument('--quick', action='store_true')
     ap.add_argument('--only', type=int, default=None,
                     help='bench a single qubit count')
+    ap.add_argument('--engine', default=None,
+                    help='bench a single engine (filters each row)')
     args = ap.parse_args()
 
     import jax
@@ -137,6 +139,8 @@ def main():
         if args.only and nq != args.only:
             continue
         for eng in engines:
+            if args.engine and eng != args.engine:
+                continue
             try:
                 sps, compile_s = bench_config(nq, net, eng, batch,
                                               epochs_timed=timed,

@@ -42,6 +42,7 @@ mqvector / TorchQuantum), and our own gates path as the default above
 DENSE_MAX_QUBITS.  Verified against the gates oracle in
 tests/test_fused_gates.py.
 """
+import os
 from functools import lru_cache
 
 import jax
@@ -54,6 +55,26 @@ from quanonet_tpu.ops.gates import (
 )
 
 MAX_GROUP_QUBITS = 7  # 2^7 = 128 = one MXU lane tile
+
+# Unroll factor for the block scan.  The scan body is ~22 small XLA ops
+# (grouped matmuls + gathers); at unroll=1 every block pays the per-op
+# issue overhead serially.  Unrolling lets XLA fuse/pipeline across
+# blocks like the dense path does (ops/hea.py _forward_dense unroll=8).
+# Measured on v5e (bench_qubit_scaling, Net40-2-20-2 bs=100, clean
+# sequential runs): Q10 unroll 1/2/4/6 -> 10.9/15.2/15.8/15.1 K
+# samples/s and Q8 -> 25.4K -> 36.7K (+44% at 4); under remat
+# (Q>=12, bandwidth-bound recompute) unroll is neutral-to-negative
+# (Q12 12.7->12.6K, Q14 3.41->3.25K, Q16 386->386), so the default is
+# 4 on the non-remat path and 1 under remat.  FUSED_UNROLL=n overrides
+# both.
+_FUSED_UNROLL_ENV = os.environ.get('FUSED_UNROLL')
+FUSED_UNROLL = int(_FUSED_UNROLL_ENV) if _FUSED_UNROLL_ENV else None
+
+
+def _scan_unroll(remat: bool) -> int:
+    if FUSED_UNROLL is not None:
+        return FUSED_UNROLL
+    return 1 if remat else 4
 
 
 @lru_cache(maxsize=None)
@@ -269,7 +290,8 @@ def forward_fused(spec, weights, x, remat=None):
             return body(sr, si, dr_b, di_b, subs), None
 
         (sr, si), _ = jax.lax.scan(step, (sr, si),
-                                   (dr[b:j], di[b:j], subs_run))
+                                   (dr[b:j], di[b:j], subs_run),
+                                   unroll=min(_scan_unroll(remat), g))
         s += g * ld
         b = j
     return sr, si

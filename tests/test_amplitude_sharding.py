@@ -143,3 +143,45 @@ def test_virtual_global_executes_with_global_qubits():
     assert np.all(np.isfinite(out))
     with pytest.raises(ValueError, match="1-device"):
         make_sharded_hea(spec, _mesh(2), virtual_global=2)
+
+
+def test_sharded_training_end_to_end():
+    """The amplitude-sharded engine TRAINS, not just differentiates: an
+    optax Adam loop over the 8-way-sharded fused expectation tracks the
+    unsharded gates-oracle loop step for step (same data, init, and
+    optimizer state) and converges.  This is the Q>16 scaling story's
+    training path exercised end to end on the virtual mesh."""
+    import optax
+
+    spec, w0, x, diag = _case(4, (2, 1, 2, 1), batch=6, seed=3)
+    rng = np.random.RandomState(7)
+    target = jnp.asarray(rng.randn(6, 1).astype(np.float32))
+    mesh = _mesh(4)
+    f = make_sharded_hea(spec, mesh, fused=True)
+    opt = optax.adam(3e-2)
+
+    def run(loss_fn, steps=12):
+        @jax.jit
+        def step(params, state):
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            upd, state = opt.update(g, state, params)
+            return optax.apply_updates(params, upd), state, loss
+
+        params, state = w0, opt.init(w0)
+        losses = []
+        for _ in range(steps):
+            params, state, loss = step(params, state)
+            losses.append(float(loss))
+        return losses, params
+
+    losses_sh, p_sh = run(
+        lambda p: jnp.mean((f(p, x, diag) - target) ** 2))
+    losses_ref, p_ref = run(
+        lambda p: jnp.mean((hea_expectation(spec, p, x, diag=diag,
+                                            engine='gates')
+                            - target) ** 2))
+    assert losses_sh[-1] < 0.7 * losses_sh[0]          # it converges
+    np.testing.assert_allclose(losses_sh, losses_ref,  # identical runs
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
+                               atol=2e-4)
