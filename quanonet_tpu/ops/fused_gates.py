@@ -51,6 +51,7 @@ import numpy as np
 
 from quanonet_tpu.ops.gates import (
     cnot_ring_inverse_permutation,
+    make_perm_apply,
     z_signs,
 )
 
@@ -75,6 +76,12 @@ def _scan_unroll(remat: bool) -> int:
     if FUSED_UNROLL is not None:
         return FUSED_UNROLL
     return 1 if remat else 4
+
+
+@lru_cache(maxsize=None)
+def _ring_apply(n_qubits: int):
+    """CNOT-ring permutation of the full register (see make_perm_apply)."""
+    return make_perm_apply(cnot_ring_inverse_permutation(n_qubits))
 
 
 @lru_cache(maxsize=None)
@@ -242,7 +249,7 @@ def forward_fused(spec, weights, x, remat=None):
     dr = jnp.cos(phi)
     di = -jnp.sin(phi)
 
-    ring = jnp.asarray(cnot_ring_inverse_permutation(n))
+    ring_apply = _ring_apply(n)
 
     def block_body(sr, si, dr_b, di_b, subs, ld):
         # encode right-H, then the per-sample diagonal
@@ -257,7 +264,7 @@ def forward_fused(spec, weights, x, remat=None):
                 ur, ui = subs[gi][0][d], subs[gi][1][d]
                 sr, si = _apply_group(sr, si, ur, ui, off, k, n)
             if n > 1:
-                sr, si = sr[:, ring], si[:, ring]
+                sr, si = ring_apply(sr, si)
         return sr, si
 
     sr = jnp.zeros((batch, dim), jnp.float32).at[:, 0].set(1.0)

@@ -19,8 +19,42 @@ backend in this environment has no complex64 lowering, so the engine
 """
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def make_perm_apply(perm: np.ndarray, axis: int = -1):
+    """Permutation gather along ``axis`` with a gather-based VJP.
+
+    ``s[:, perm]`` under plain autodiff transposes to a SCATTER-ADD (JAX
+    cannot know the gather indices are a bijection), and scatters are the
+    slowest lowering on this backend — profiling showed the Q10 fused
+    backward at ~2.9x the forward with the ring's scatter dominating
+    (docs/fused_profile.json; the change measured +27% on the Q10 fused
+    train step).  A permutation's transpose is just the inverse
+    permutation, so the VJP here is another gather.  Indices are baked as
+    constants (2^n int32 — 256 KB at Q16, well under the tunnel constant
+    limit).  Takes and returns the engine's split-real (re, im) pair."""
+    fwd_idx = np.asarray(perm)
+    bwd_idx = np.empty_like(fwd_idx)
+    bwd_idx[fwd_idx] = np.arange(fwd_idx.size, dtype=fwd_idx.dtype)
+
+    @jax.custom_vjp
+    def apply(sr, si):
+        return (jnp.take(sr, fwd_idx, axis=axis),
+                jnp.take(si, fwd_idx, axis=axis))
+
+    def fwd(sr, si):
+        return apply(sr, si), None
+
+    def bwd(_, ct):
+        ctr, cti = ct
+        return (jnp.take(ctr, bwd_idx, axis=axis),
+                jnp.take(cti, bwd_idx, axis=axis))
+
+    apply.defvjp(fwd, bwd)
+    return apply
 
 
 def ry_matrix(theta):

@@ -46,6 +46,7 @@ from quanonet_tpu.ops.gates import (
     cnot_ring_inverse_permutation,
     hadamard_kron,
     kron_chain,
+    make_perm_apply,
     ry_matrix,
     z_signs,
 )
@@ -160,8 +161,7 @@ def _apply_rz(sr, si, q, half, n_qubits):
 def _apply_ring(sr, si, n_qubits):
     if n_qubits <= 1:
         return sr, si
-    inv = jnp.asarray(cnot_ring_inverse_permutation(n_qubits))
-    return sr[:, inv], si[:, inv]
+    return make_perm_apply(cnot_ring_inverse_permutation(n_qubits))(sr, si)
 
 
 # ── dense path: compile ansatz stacks to block unitaries ────────────────────
@@ -183,8 +183,12 @@ def _sublayer_unitary(w, n_qubits):
     mi = zi[:, None] * u_ry1
     ur = u_ry2 @ mr
     ui = u_ry2 @ mi
-    inv = jnp.asarray(cnot_ring_inverse_permutation(n_qubits))
-    return ur[inv, :], ui[inv, :]
+    # gather-based VJP: the row permutation's transpose is the inverse
+    # permutation gather, not the scatter-add autodiff would emit
+    # (ops/gates.make_perm_apply)
+    ring_rows = make_perm_apply(cnot_ring_inverse_permutation(n_qubits),
+                                axis=-2)
+    return ring_rows(ur, ui)
 
 
 def compile_block_unitaries(spec: HEASpec, weights):

@@ -214,13 +214,15 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
             _apply_group, _apply_hadamard, _group_unitary, _rot2x2,
             qubit_groups,
         )
-        from quanonet_tpu.ops.gates import z_signs
+        from quanonet_tpu.ops.gates import make_perm_apply, z_signs
 
         my_id = jax.lax.axis_index(axis)
         batch = x.shape[0]
         groups = qubit_groups(local_n) if local_n > 0 else ()
         zs_local = jnp.asarray(z_signs(local_n)) if local_n > 0 else None
-        inv_ring = jnp.asarray(_inv_local_ring)
+        # gather-based VJP: the permutation's transpose is the inverse
+        # permutation, not the scatter-add autodiff would emit
+        local_ring_apply = make_perm_apply(_inv_local_ring)
 
         rr, ri = jax.vmap(_rot2x2)(weights)      # (S, n, 2, 2) each
 
@@ -262,7 +264,7 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
                     sr, si = ry_any(sr, si, i, c2, s2, my_id)
                 if n > 1:
                     if local_n > 1:     # the whole local run in one gather
-                        sr, si = sr[:, inv_ring], si[:, inv_ring]
+                        sr, si = local_ring_apply(sr, si)
                     for i in range(max(local_n - 1, 0), n):
                         sr, si = cnot_any(sr, si, (i + 1) % n, i, my_id)
                 sub += 1
