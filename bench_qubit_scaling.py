@@ -125,8 +125,8 @@ def main():
     # at 10 steps/epoch vs 528K via bench.py's 1000-step epochs).
     CONFIGS = [
         (5,  (40, 2, 20, 2), ('pallas', 'embed', 'fused'), 100, True, 200),
-        (8,  (40, 2, 20, 2), ('pallas', 'fused'), 100, True, 100),
-        (10, (40, 2, 20, 2), ('dense', 'fused'), 100, True, 20),
+        (8,  (40, 2, 20, 2), ('pallas', 'fused', 'pfused'), 100, True, 100),
+        (10, (40, 2, 20, 2), ('dense', 'fused', 'pfused'), 100, True, 20),
         (12, (10, 2, 10, 2), ('fused',), 100, True, 20),
         (14, (5, 2, 5, 2), ('fused',), 32, True, 10),
         # Q16 TRAINS on one chip: fused engine + remat

@@ -219,6 +219,41 @@ def test_golden_ckpt():
     return ok
 
 
+def test_pfused_engine():
+    """pfused (ops/pallas_fused.py) only engages at Q>=8, above the
+    shared Q3/Q4 cases — dedicated Q8 fwd+grad check vs the XLA fused
+    engine.  On TPU this is the Mosaic gate for the fused-group chain
+    kernel (multi-stage VJP, ring one-hot matmuls, cross-tile
+    accumulation)."""
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+    from quanonet_tpu.ops.hea import hea_expectation, quanonet_spec
+
+    spec = quanonet_spec(8, (4, 2, 3, 1))
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2,
+                                (6, spec.total_encode)).astype(np.float32))
+    diag = jnp.asarray(simple_ham_diag(8, -5, 5))
+
+    def one(eng):
+        out = np.asarray(hea_expectation(spec, w, x, diag=diag, engine=eng))
+        g = np.asarray(jax.grad(
+            lambda w_: jnp.sum(hea_expectation(spec, w_, x, diag=diag,
+                                               engine=eng) ** 2))(w))
+        return out, g
+
+    o1, g1 = one('fused')
+    o2, g2 = one('pfused')
+    df = np.abs(o1 - o2).max()
+    dg = np.abs(g1 - g2).max()
+    ok = df <= FWD_TOL_QUANTUM and dg <= GRAD_TOL
+    report("Q8 fused≡pfused", ok, f"(fwd {df:.2e}, grad {dg:.2e})")
+    return ok
+
+
 def test_classical_models():
     import jax
     import jax.numpy as jnp
@@ -294,7 +329,8 @@ def main():
     jax.config.update('jax_default_matmul_precision', 'highest')
 
     groups = [test_quanonet_engines, test_heaqnn_engines, test_ham_variants,
-              test_golden_npz, test_golden_ckpt, test_classical_models]
+              test_golden_npz, test_golden_ckpt, test_classical_models,
+              test_pfused_engine]
     all_ok = True
     for g in groups:
         try:

@@ -73,7 +73,7 @@ def _needs_sequential_seeds(config, n_seeds):
     from quanonet_tpu.ops.hea import resolve_engine
     engine = resolve_engine(config.get('engine', 'auto'),
                             config['num_qubits'])
-    return (engine == 'fused'
+    return (engine in ('fused', 'pfused')
             and config['num_qubits'] >= FUSED_SEQ_MIN_QUBITS
             and n_seeds > MAX_VMAP_SEEDS_LARGE_N)
 

@@ -409,12 +409,20 @@ FUSED_MIN_QUBITS = 8  # auto switches to the grouped-kron path here:
 #                       (31 MiB at Q8), past the comfortable scoped limit.
 
 
-ENGINES = ('dense', 'gates', 'fused', 'pallas', 'embed')
+ENGINES = ('dense', 'gates', 'fused', 'pallas', 'embed', 'pfused')
 
 
 def resolve_engine(engine: str, n_qubits: int) -> str:
     if engine in ('auto', None):
         if n_qubits >= FUSED_MIN_QUBITS:
+            # VMEM fused-group chain kernel on TPU where it applies
+            # (measured 3.7x/1.9x the XLA fused path at Q8/Q10); XLA
+            # grouped-kron elsewhere.  forward_pfused itself falls back
+            # to forward_fused for non-uniform specs.
+            from quanonet_tpu.ops.pallas_fused import AUTO_MAX_QUBITS
+            if (n_qubits <= AUTO_MAX_QUBITS
+                    and jax.default_backend() == 'tpu'):
+                return 'pfused'
             return 'fused'   # grouped-kron MXU path (ops/fused_gates.py)
         # fused Pallas chain on TPU (falls back to dense beyond its VMEM
         # budget); interpret-mode Pallas is slow on CPU, use dense there
@@ -444,6 +452,9 @@ def hea_forward_pair(spec: HEASpec, weights, x, engine='auto'):
     if engine == 'embed':
         from quanonet_tpu.ops.pallas_embed import forward_embed
         return forward_embed(spec, weights, x)
+    if engine == 'pfused':
+        from quanonet_tpu.ops.pallas_fused import forward_pfused
+        return forward_pfused(spec, weights, x)
     raise ValueError(f"unknown engine '{engine}'")
 
 

@@ -1,0 +1,580 @@
+"""
+Pallas fused-group chain kernel for mid-size qubit counts (Q8-Q11).
+
+The XLA fused engine (ops/fused_gates.py) is HBM-bandwidth-bound: each
+sublayer makes ~6 full passes over the (batch, 2^n) state (grouped
+matmuls, diagonal, ring gather), so the Q10 forward spends ~1.4 ms
+streaming a 0.8 MB state through HBM ~120 times (docs/fused_profile.json).
+This kernel keeps the statevector RESIDENT IN VMEM for the entire block
+chain — the same pattern that made ops/pallas_hea.py the flagship winner —
+and streams only the small per-sublayer group unitaries.
+
+Layout: the (batch, 2^n) split-real state is carried as (hi*bt, 128)
+tiles, rows = h*bt + b where l = basis bits 0-6 (lanes) and h = bits
+7..n-1 (row blocks).  Per sublayer:
+
+  * low group (k=7):  one Karatsuba (3 MXU matmuls) against the
+    pre-transposed (128, 128) group unitary — full lane-tile contraction;
+  * high group (k=n-7): hi^2 complex scalar FMAs across the row blocks
+    (the (hi, hi) unitary entries broadcast on the VPU);
+  * CNOT ring: the permutation is GF(2)-linear, so per destination row
+    block it is a LANE permutation selected by one h bit plus a
+    lane-parity-masked row-block swap.  Both are baked as 4 distinct
+    one-hot (128, 128) f32 matrices (exact: each output element is
+    1.0 x input) — masked permutation matmuls instead of the HBM gather.
+
+The backward is a hand-written VJP (autodiff cannot see through a Pallas
+kernel): block-input states are saved to HBM on the forward pass and each
+block is recomputed stage-by-stage in VMEM on the backward, mirroring
+ops/pallas_hea.py's chain_bwd.  A permutation's transpose is its inverse
+permutation (ops/gates.make_perm_apply doc), decomposed the same way.
+
+The grid tiles the batch so the per-tile working set fits VMEM; group
+unitaries and their cotangent accumulators keep a constant index_map and
+stay resident across tiles.
+
+Replaces nothing — it is a third engine ('pfused') for the same circuit
+contract as ops/fused_gates.forward_fused (uniform encode), verified
+against the gates oracle in tests/test_pallas_fused.py.
+"""
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from quanonet_tpu.ops.gates import (
+    cnot_ring_inverse_permutation,
+    cnot_ring_permutation,
+    hadamard_kron,
+    z_signs,
+)
+from quanonet_tpu.ops.pallas_hea import (
+    VMEM_LIMIT,
+    _interpret,
+)
+
+LANE_QUBITS = 7
+MIN_QUBITS = 8
+MAX_QUBITS = 11          # hi = 2^(n-7) <= 16 keeps the VPU FMA fan-in sane
+AUTO_MAX_QUBITS = 10     # auto-dispatch cap: Q8/Q10 measured 3.7x/1.9x the
+#                          XLA fused path on v5e; Q11 (hi=16) is unmeasured
+#                          and stays opt-in via engine='pfused'
+VMEM_BUDGET = 64 * 1024 * 1024   # per-tile working-set target
+
+
+# ── ring decomposition ───────────────────────────────────────────────────────
+
+@lru_cache(maxsize=None)
+def _ring_decomp(n_qubits: int, inverse: bool):
+    """Decompose the ring gather map (out[k] = s[idx[k]]) into per-dest-
+    row-block masked lane permutations.
+
+    Returns (plan, mats): plan[dest_h] = ((src_h, mat_index), ...) and
+    mats = tuple of distinct one-hot (128, 128) float32 P with
+    out_h = sum_c s[src_h(c)] @ P_c.  Exact for any GF(2)-linear
+    permutation (verified in tests); the CNOT ring needs 2 classes per
+    dest block and 4 distinct mats in either direction."""
+    idx = (cnot_ring_permutation(n_qubits) if inverse
+           else cnot_ring_inverse_permutation(n_qubits))
+    hi = 2 ** (n_qubits - LANE_QUBITS)
+    lanes = np.arange(128)
+    mats = []
+    keys = {}
+    plan = []
+    for h in range(hi):
+        src = idx[h * 128 + lanes]
+        sh, sl = src >> LANE_QUBITS, src & 127
+        entry = []
+        for shh in sorted(set(sh.tolist())):
+            m = sh == shh
+            P = np.zeros((128, 128), np.float32)
+            P[sl[m], lanes[m]] = 1.0
+            key = P.tobytes()
+            if key not in keys:
+                keys[key] = len(mats)
+                mats.append(P)
+            entry.append((int(shh), keys[key]))
+        plan.append(tuple(entry))
+    return tuple(plan), tuple(mats)
+
+
+def _apply_ring_tiles(srs, sis, plan, mats):
+    """Ring permutation on per-row-block state lists (each (bt, 128))."""
+    nr, ni = [], []
+    for entry in plan:
+        ar = ai = None
+        for src_h, mi in entry:
+            P = mats[mi]
+            tr = jnp.dot(srs[src_h], P, preferred_element_type=jnp.float32)
+            ti = jnp.dot(sis[src_h], P, preferred_element_type=jnp.float32)
+            ar = tr if ar is None else ar + tr
+            ai = ti if ai is None else ai + ti
+        nr.append(ar)
+        ni.append(ai)
+    return nr, ni
+
+
+# ── in-kernel building blocks (operate on (HB, 128) with HB = hi*bt) ────────
+
+def _kara(ar, ai, br, bi):
+    t1 = jnp.dot(ar, br, preferred_element_type=jnp.float32)
+    t2 = jnp.dot(ai, bi, preferred_element_type=jnp.float32)
+    t3 = jnp.dot(ar + ai, br + bi, preferred_element_type=jnp.float32)
+    return t1 - t2, t3 - t1 - t2
+
+
+def _split(s, hi, bt):
+    return [s[h * bt:(h + 1) * bt] for h in range(hi)]
+
+
+def _apply_h(sr, si, hi, bt, h7, hsign, hscale):
+    """H^{x n}: lanes via 2 MXU matmuls, row blocks via +-scaled adds."""
+    sr = jnp.dot(sr, h7, preferred_element_type=jnp.float32)
+    si = jnp.dot(si, h7, preferred_element_type=jnp.float32)
+    if hi == 1:
+        return sr, si
+    srs, sis = _split(sr, hi, bt), _split(si, hi, bt)
+    nr, ni = [], []
+    for h in range(hi):
+        ar = ai = None
+        for h2 in range(hi):
+            tr = srs[h2] if hsign[h][h2] > 0 else -srs[h2]
+            ti = sis[h2] if hsign[h][h2] > 0 else -sis[h2]
+            ar = tr if ar is None else ar + tr
+            ai = ti if ai is None else ai + ti
+        nr.append(ar * hscale)
+        ni.append(ai * hscale)
+    return jnp.concatenate(nr, 0), jnp.concatenate(ni, 0)
+
+
+def _apply_high(sr, si, uhr, uhi, hi, bt):
+    """(hi, hi) complex group unitary across row blocks: hi^2 scalar FMAs.
+    uhr/uhi: traced (hi, hi) arrays loaded from VMEM."""
+    srs, sis = _split(sr, hi, bt), _split(si, hi, bt)
+    nr, ni = [], []
+    for h in range(hi):
+        ar = ai = None
+        for h2 in range(hi):
+            ur = uhr[h, h2]
+            ui = uhi[h, h2]
+            tr = ur * srs[h2] - ui * sis[h2]
+            ti = ur * sis[h2] + ui * srs[h2]
+            ar = tr if ar is None else ar + tr
+            ai = ti if ai is None else ai + ti
+        nr.append(ar)
+        ni.append(ai)
+    return jnp.concatenate(nr, 0), jnp.concatenate(ni, 0)
+
+
+def _apply_high_adj(sr, si, uhr, uhi, hi, bt):
+    """Adjoint (U^H) of _apply_high: conj-transposed entry order."""
+    srs, sis = _split(sr, hi, bt), _split(si, hi, bt)
+    nr, ni = [], []
+    for h2 in range(hi):
+        ar = ai = None
+        for h in range(hi):
+            ur = uhr[h, h2]
+            ui = uhi[h, h2]
+            tr = ur * srs[h] + ui * sis[h]
+            ti = ur * sis[h] - ui * srs[h]
+            ar = tr if ar is None else ar + tr
+            ai = ti if ai is None else ai + ti
+        nr.append(ar)
+        ni.append(ai)
+    return jnp.concatenate(nr, 0), jnp.concatenate(ni, 0)
+
+
+def _ring(sr, si, hi, bt, plan, mats):
+    if hi == 1:
+        return (jnp.dot(sr, mats[0], preferred_element_type=jnp.float32),
+                jnp.dot(si, mats[0], preferred_element_type=jnp.float32))
+    nr, ni = _apply_ring_tiles(_split(sr, hi, bt), _split(si, hi, bt),
+                               plan, mats)
+    return jnp.concatenate(nr, 0), jnp.concatenate(ni, 0)
+
+
+def _runs(block_configs):
+    """Runs of consecutive blocks with equal linear_depth:
+    ((sub_offset, block_offset, g, ld), ...)."""
+    runs = []
+    s = b = 0
+    nb = len(block_configs)
+    while b < nb:
+        ld = block_configs[b][1]
+        j = b
+        while j < nb and block_configs[j][1] == ld:
+            j += 1
+        runs.append((s, b, j - b, ld))
+        s += (j - b) * ld
+        b = j
+    return tuple(runs)
+
+
+# ── kernels ──────────────────────────────────────────────────────────────────
+
+def _consts(n_qubits):
+    """Static structure: hi, Hadamard sign pattern/scale, ring plans, and
+    the stacked one-hot matrices (numpy — passed to the kernels as inputs;
+    Pallas refuses captured array constants)."""
+    hi = 2 ** (n_qubits - LANE_QUBITS)
+    h7 = hadamard_kron(LANE_QUBITS)
+    if hi > 1:
+        hk = hadamard_kron(n_qubits - LANE_QUBITS)
+        hscale = float(np.abs(hk[0, 0]))
+        hsign = tuple(tuple(1 if v > 0 else -1 for v in row) for row in hk)
+    else:
+        hscale, hsign = 1.0, ((1,),)
+    fplan, fmats = _ring_decomp(n_qubits, False)
+    bplan, bmats = _ring_decomp(n_qubits, True)
+    return (hi, h7, hsign, hscale,
+            fplan, np.stack(fmats), bplan, np.stack(bmats))
+
+
+def _fwd_kernel(n_qubits, runs, bt):
+    hi, _, hsign, hscale, fplan, fmats_np, _, _ = _consts(n_qubits)
+    n_fm = fmats_np.shape[0]
+
+    def kernel(h7_ref, fm_ref, u7t_r_ref, u7t_i_ref, uhr_ref, uhi_ref,
+               phi_ref, sr_out, si_out, str_out, sti_out):
+        h7 = h7_ref[:]
+        fmats = [fm_ref[i] for i in range(n_fm)]
+        col = jax.lax.broadcasted_iota(jnp.int32, (hi * bt, 128), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (hi * bt, 128), 0)
+        sr = jnp.where((col == 0) & (row < bt), 1.0, 0.0)  # |0...0>
+        si = jnp.zeros((hi * bt, 128), jnp.float32)
+
+        def block(sr, si, b, s0, ld):
+            str_out[pl.ds(b, 1)] = sr.reshape(1, hi * bt, 128)
+            sti_out[pl.ds(b, 1)] = si.reshape(1, hi * bt, 128)
+            sr, si = _apply_h(sr, si, hi, bt, h7, hsign, hscale)
+            phi = phi_ref[pl.ds(b, 1)][0]
+            pr = jnp.cos(phi)
+            pi = -jnp.sin(phi)
+            sr, si = pr * sr - pi * si, pr * si + pi * sr
+            if ld == 0:  # encoding-only block: trailing left Hadamard
+                return _apply_h(sr, si, hi, bt, h7, hsign, hscale)
+            for d in range(ld):
+                s_idx = s0 + d
+                ur = u7t_r_ref[pl.ds(s_idx, 1)][0]
+                ui = u7t_i_ref[pl.ds(s_idx, 1)][0]
+                sr, si = _kara(sr, si, ur, ui)
+                if hi > 1:
+                    sr, si = _apply_high(sr, si,
+                                         uhr_ref[pl.ds(s_idx, 1)][0],
+                                         uhi_ref[pl.ds(s_idx, 1)][0],
+                                         hi, bt)
+                sr, si = _ring(sr, si, hi, bt, fplan, fmats)
+            return sr, si
+
+        for s0, b0, g, ld in runs:
+            def body(i, carry, _s0=s0, _b0=b0, _ld=ld):
+                sr, si = carry
+                return block(sr, si, _b0 + i, _s0 + i * _ld, _ld)
+            sr, si = jax.lax.fori_loop(0, g, body, (sr, si))
+        sr_out[:], si_out[:] = sr, si
+    return kernel
+
+
+def _bwd_kernel(n_qubits, runs, bt):
+    hi, _, hsign, hscale, fplan, fmats_np, bplan, bmats_np = \
+        _consts(n_qubits)
+    n_fm, n_bm = fmats_np.shape[0], bmats_np.shape[0]
+
+    def kernel(h7_ref, fm_ref, bm_ref, u7t_r_ref, u7t_i_ref,
+               uhr_ref, uhi_ref, phi_ref,
+               str_ref, sti_ref, gr_ref, gi_ref,
+               u7bar_r_out, u7bar_i_out, uhbar_r_out, uhbar_i_out,
+               phibar_out):
+        h7 = h7_ref[:]
+        fmats = [fm_ref[i] for i in range(n_fm)]
+        bmats = [bm_ref[i] for i in range(n_bm)]
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            u7bar_r_out[:] = jnp.zeros(u7bar_r_out.shape, jnp.float32)
+            u7bar_i_out[:] = jnp.zeros(u7bar_i_out.shape, jnp.float32)
+            uhbar_r_out[:] = jnp.zeros(uhbar_r_out.shape, jnp.float32)
+            uhbar_i_out[:] = jnp.zeros(uhbar_i_out.shape, jnp.float32)
+
+        ctr = gr_ref[:]
+        cti = gi_ref[:]
+
+        def block_bwd(ctr, cti, b, s0, ld):
+            # recompute the block's stage states from the saved input
+            sr = str_ref[pl.ds(b, 1)][0]
+            si = sti_ref[pl.ds(b, 1)][0]
+            sr, si = _apply_h(sr, si, hi, bt, h7, hsign, hscale)
+            pre_diag = (sr, si)
+            phi = phi_ref[pl.ds(b, 1)][0]
+            pr = jnp.cos(phi)
+            pi = -jnp.sin(phi)
+            sr, si = pr * sr - pi * si, pr * si + pi * sr
+            stages = []   # per depth: (pre_low, post_low)
+            for d in range(ld):
+                s_idx = s0 + d
+                pre = (sr, si)
+                sr, si = _kara(sr, si, u7t_r_ref[pl.ds(s_idx, 1)][0],
+                               u7t_i_ref[pl.ds(s_idx, 1)][0])
+                post = (sr, si)
+                if hi > 1:
+                    sr, si = _apply_high(sr, si,
+                                         uhr_ref[pl.ds(s_idx, 1)][0],
+                                         uhi_ref[pl.ds(s_idx, 1)][0],
+                                         hi, bt)
+                sr, si = _ring(sr, si, hi, bt, fplan, fmats)
+                stages.append((pre, post))
+
+            if ld == 0:  # trailing H of an encoding-only block
+                ctr, cti = _apply_h(ctr, cti, hi, bt, h7, hsign, hscale)
+
+            for d in range(ld - 1, -1, -1):
+                s_idx = s0 + d
+                (plr, pli), (por, poi) = stages[d]
+                # ring^T = inverse permutation
+                ctr, cti = _ring(ctr, cti, hi, bt, bplan, bmats)
+                if hi > 1:
+                    uhr = uhr_ref[pl.ds(s_idx, 1)][0]
+                    uhi = uhi_ref[pl.ds(s_idx, 1)][0]
+                    # uhbar[h, h2] = sum ct_h * conj(S_postlow_h2)
+                    cs = _split(ctr, hi, bt)
+                    ci = _split(cti, hi, bt)
+                    ps = _split(por, hi, bt)
+                    pi_ = _split(poi, hi, bt)
+                    ubr = jnp.stack([
+                        jnp.stack([jnp.sum(cs[h] * ps[h2]
+                                           + ci[h] * pi_[h2])
+                                   for h2 in range(hi)])
+                        for h in range(hi)])
+                    ubi = jnp.stack([
+                        jnp.stack([jnp.sum(ci[h] * ps[h2]
+                                           - cs[h] * pi_[h2])
+                                   for h2 in range(hi)])
+                        for h in range(hi)])
+                    cur_r = uhbar_r_out[pl.ds(s_idx, 1)]
+                    cur_i = uhbar_i_out[pl.ds(s_idx, 1)]
+                    uhbar_r_out[pl.ds(s_idx, 1)] = (
+                        cur_r + ubr.reshape(1, hi, hi))
+                    uhbar_i_out[pl.ds(s_idx, 1)] = (
+                        cur_i + ubi.reshape(1, hi, hi))
+                    ctr, cti = _apply_high_adj(ctr, cti, uhr, uhi, hi, bt)
+                # low-group matmul backward (pallas_hea chain_bwd pattern):
+                # u7tbar = conj(S_prelow)^T @ ct ; ct = ct @ conj(u7t)^T
+                mbr, mbi = _kara(plr.T, -pli.T, ctr, cti)
+                cur_r = u7bar_r_out[pl.ds(s_idx, 1)]
+                cur_i = u7bar_i_out[pl.ds(s_idx, 1)]
+                u7bar_r_out[pl.ds(s_idx, 1)] = (
+                    cur_r + mbr.reshape(1, 128, 128))
+                u7bar_i_out[pl.ds(s_idx, 1)] = (
+                    cur_i + mbi.reshape(1, 128, 128))
+                tr = u7t_r_ref[pl.ds(s_idx, 1)][0]
+                ti = u7t_i_ref[pl.ds(s_idx, 1)][0]
+                ctr, cti = _kara(ctr, cti, tr.T, -ti.T)
+
+            # diagonal backward (phase chain rule, ops/pallas_hea.py:190-196)
+            ur, ui = pre_diag
+            dbar_r = ur * ctr + ui * cti
+            dbar_i = -ui * ctr + ur * cti
+            phibar_out[pl.ds(b, 1)] = (dbar_r * pi - dbar_i * pr).reshape(
+                1, hi * bt, 128)
+            nctr = pr * ctr + pi * cti
+            ncti = -pi * ctr + pr * cti
+            # H is real symmetric: self-adjoint
+            return _apply_h(nctr, ncti, hi, bt, h7, hsign, hscale)
+
+        for s0, b0, g, ld in reversed(runs):
+            def body(i, carry, _s0=s0, _b0=b0, _g=g, _ld=ld):
+                ctr, cti = carry
+                j = _g - 1 - i
+                return block_bwd(ctr, cti, _b0 + j, _s0 + j * _ld, _ld)
+            ctr, cti = jax.lax.fori_loop(0, g, body, (ctr, cti))
+    return kernel
+
+
+# ── chain wrapper (custom VJP) ───────────────────────────────────────────────
+
+def _tile_rows(a, hi, bt, n_tiles):
+    """(nb?, bp, 2^n) -> (nb?, n_tiles, hi*bt, 128) with rows h*bt + b."""
+    lead = a.shape[:-2]
+    bp = a.shape[-2]
+    a = a.reshape(lead + (n_tiles, bt, hi, 128))
+    perm = tuple(range(len(lead))) + tuple(
+        len(lead) + i for i in (0, 2, 1, 3))
+    return a.transpose(perm).reshape(lead + (n_tiles, hi * bt, 128))
+
+
+def _untile_rows(a, hi, bt, n_tiles):
+    """(n_tiles, hi*bt, 128) -> (bp, 2^n)."""
+    return (a.reshape(n_tiles, hi, bt, 128)
+            .transpose(0, 2, 1, 3)
+            .reshape(n_tiles * bt, hi * 128))
+
+
+def _workset_bytes(nb, n_sub, hi, bt):
+    """Per-tile VMEM bytes (backward is the high-water mark): resident
+    unitaries + their cotangent accumulators, per-tile phi/saved/grad/
+    phibar slabs, ~8 live (hi*bt, 128) temporaries, ring constants."""
+    row = hi * bt * 128 * 4
+    mats = 4 * n_sub * 128 * 128 * 4          # u7t pair + u7bar pair
+    slabs = (3 * nb + 2 + nb) * row           # phi+str+sti, g, phibar
+    return mats + slabs + 8 * row + 8 * 128 * 128 * 4
+
+
+def _pick_bt(nb, n_sub, hi, batch):
+    import os
+    env = os.environ.get('PFUSED_BT')   # A/B override for tile tuning
+    if env:
+        return int(env)
+    bt = max(8, -(-batch // 8) * 8)
+    while bt > 8 and _workset_bytes(nb, n_sub, hi, bt) > VMEM_BUDGET:
+        bt = max(8, (bt // 2 + 7) // 8 * 8)
+        if bt == 8:
+            break
+    return bt
+
+
+@lru_cache(maxsize=32)
+def _make_chain(n_qubits, block_configs, bt, n_tiles):
+    """custom-vjp fused-group chain for a fixed spec/tiling:
+    (u7t_r, u7t_i, uh_r, uh_i, phi_tiled) -> (sr, si) tiled."""
+    runs = _runs(block_configs)
+    nb = len(block_configs)
+    n_sub = sum(ld for _, ld in block_configs)
+    hi = 2 ** (n_qubits - LANE_QUBITS)
+    hb = hi * bt
+    grid = (n_tiles,)
+    vmem = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+    _, h7_np, _, _, _, fmats_np, _, bmats_np = _consts(n_qubits)
+
+    def const_spec(shape):
+        nd = len(shape)
+        return pl.BlockSpec(shape, lambda t, _nd=nd: (0,) * _nd)
+
+    u7_spec = const_spec((n_sub, 128, 128))
+    uh_spec = const_spec((n_sub, hi, hi))
+    per_tile_nb = pl.BlockSpec((nb, None, hb, 128),
+                               lambda t: (0, t, 0, 0))
+    per_tile = pl.BlockSpec((None, hb, 128), lambda t: (t, 0, 0))
+
+    def fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi):
+        out_shape = (
+            jax.ShapeDtypeStruct((n_tiles, hb, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, hb, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
+        )
+        return pl.pallas_call(
+            _fwd_kernel(n_qubits, runs, bt),
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=[const_spec((128, 128)),
+                      const_spec(fmats_np.shape),
+                      u7_spec, u7_spec, uh_spec, uh_spec, per_tile_nb],
+            out_specs=(per_tile, per_tile,
+                       pl.BlockSpec((nb, None, hb, 128),
+                                    lambda t: (0, t, 0, 0)),
+                       pl.BlockSpec((nb, None, hb, 128),
+                                    lambda t: (0, t, 0, 0))),
+            interpret=_interpret(),
+            compiler_params=vmem,
+        )(jnp.asarray(h7_np), jnp.asarray(fmats_np),
+          u7t_r, u7t_i, uh_r, uh_i, phi)
+
+    def bwd_call(u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti, gr, gi):
+        out_shape = (
+            jax.ShapeDtypeStruct((n_sub, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, 128, 128), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, hi, hi), jnp.float32),
+            jax.ShapeDtypeStruct((n_sub, hi, hi), jnp.float32),
+            jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
+        )
+        return pl.pallas_call(
+            _bwd_kernel(n_qubits, runs, bt),
+            grid=grid,
+            out_shape=out_shape,
+            in_specs=[const_spec((128, 128)),
+                      const_spec(fmats_np.shape),
+                      const_spec(bmats_np.shape),
+                      u7_spec, u7_spec, uh_spec, uh_spec, per_tile_nb,
+                      per_tile_nb, per_tile_nb, per_tile, per_tile],
+            out_specs=(u7_spec, u7_spec, uh_spec, uh_spec,
+                       pl.BlockSpec((nb, None, hb, 128),
+                                    lambda t: (0, t, 0, 0))),
+            interpret=_interpret(),
+            compiler_params=vmem,
+        )(jnp.asarray(h7_np), jnp.asarray(fmats_np), jnp.asarray(bmats_np),
+          u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti, gr, gi)
+
+    @jax.custom_vjp
+    def chain(u7t_r, u7t_i, uh_r, uh_i, phi):
+        sr, si, _, _ = fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi)
+        return sr, si
+
+    def chain_fwd(u7t_r, u7t_i, uh_r, uh_i, phi):
+        sr, si, str_, sti = fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi)
+        return (sr, si), (u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti)
+
+    def chain_bwd(res, g):
+        u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti = res
+        u7br, u7bi, uhbr, uhbi, phibar = bwd_call(
+            u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti, g[0], g[1])
+        return u7br, u7bi, uhbr, uhbi, phibar
+
+    chain.defvjp(chain_fwd, chain_bwd)
+    return chain
+
+
+# ── engine entry point ───────────────────────────────────────────────────────
+
+def pfused_applicable(spec, batch=None):
+    return (MIN_QUBITS <= spec.n_qubits <= MAX_QUBITS
+            and spec.uniform_encode
+            and spec.n_blocks >= 1)
+
+
+def forward_pfused(spec, weights, x):
+    """(sr, si) each (batch, 2^n) via the fused-group VMEM chain; same
+    circuit contract as ops/fused_gates.forward_fused."""
+    from quanonet_tpu.ops.fused_gates import build_group_unitaries
+    n = spec.n_qubits
+    if not pfused_applicable(spec):
+        from quanonet_tpu.ops.fused_gates import forward_fused
+        return forward_fused(spec, weights, x)
+    batch = x.shape[0]
+    nb = spec.n_blocks
+    hi = 2 ** (n - LANE_QUBITS)
+    n_sub = spec.total_sublayers
+
+    gu = build_group_unitaries(spec, weights)
+    u7r, u7i = gu[0]                                   # (S, 128, 128)
+    u7t_r = u7r.transpose(0, 2, 1)
+    u7t_i = u7i.transpose(0, 2, 1)
+    if hi > 1:
+        uh_r, uh_i = gu[1]                             # (S, hi, hi)
+    else:
+        eye = jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
+                               (n_sub, 1, 1))
+        uh_r, uh_i = eye, jnp.zeros_like(eye)
+
+    # hoisted per-sample encode phases (same math as forward_fused)
+    zsgn = jnp.asarray(z_signs(n))
+    bt = _pick_bt(nb, n_sub, hi, batch)
+    bp = -(-batch // bt) * bt
+    n_tiles = bp // bt
+    xp = jnp.pad(x, ((0, bp - batch), (0, 0)))
+    xb = xp.reshape(bp, nb, n).transpose(1, 0, 2)      # (nb, bp, n)
+    phi = 0.5 * (xb @ zsgn.T)                          # (nb, bp, 2^n)
+    phi_t = _tile_rows(phi, hi, bt, n_tiles)
+
+    chain = _make_chain(n, tuple(spec.block_configs), bt, n_tiles)
+    sr, si = chain(u7t_r, u7t_i, uh_r, uh_i, phi_t)
+    sr = _untile_rows(sr, hi, bt, n_tiles)[:batch]
+    si = _untile_rows(si, hi, bt, n_tiles)[:batch]
+    return sr, si
+
+
+def hea_expectation_pfused(spec, weights, x, diag):
+    from quanonet_tpu.ops.hea import diag_expectation_pair
+    sr, si = forward_pfused(spec, weights, x)
+    return diag_expectation_pair(sr, si, jnp.asarray(diag))

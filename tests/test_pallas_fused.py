@@ -1,0 +1,114 @@
+"""
+pfused engine (ops/pallas_fused.py): the fused-group VMEM chain kernel.
+
+Interpret-mode (CPU) equivalence against the XLA fused engine — which is
+itself verified against the gates oracle in tests/test_fused_gates.py —
+covering the hand-written VJP, the multi-tile batch grid with its
+cross-tile cotangent accumulation, odd-batch padding, hi in {2, 4, 8},
+and encoding-only (linear_depth 0) blocks.  Plus an exactness check of
+the GF(2)-linear ring decomposition the kernel's permutation matmuls are
+built from.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from unittest import mock
+
+from quanonet_tpu.ops import pallas_fused as pf
+from quanonet_tpu.ops.fused_gates import forward_fused
+from quanonet_tpu.ops.gates import (
+    cnot_ring_inverse_permutation,
+    cnot_ring_permutation,
+)
+from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+from quanonet_tpu.ops.hea import HEASpec, hea_expectation, quanonet_spec
+
+
+def _case(n, net, batch, seed=1, spec=None):
+    spec = spec or quanonet_spec(n, net)
+    rng = np.random.RandomState(seed)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2,
+                                (batch, spec.total_encode)).astype(np.float32))
+    diag = jnp.asarray(simple_ham_diag(n, -5, 5))
+    return spec, w, x, diag
+
+
+def _compare(spec, w, x, diag, atol=5e-5):
+    def loss_of(fwd):
+        def f(w_, x_):
+            a, b = fwd(spec, w_, x_)
+            return jnp.sum(((a * a + b * b) @ diag) ** 2)
+        return f
+
+    l1, (gw1, gx1) = jax.value_and_grad(
+        loss_of(forward_fused), argnums=(0, 1))(w, x)
+    l2, (gw2, gx2) = jax.value_and_grad(
+        loss_of(pf.forward_pfused), argnums=(0, 1))(w, x)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gw1), np.asarray(gw2), atol=atol)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx2), atol=atol)
+
+
+def test_ring_decomposition_exact():
+    """The masked one-hot decomposition reproduces the gather exactly
+    (forward map and its transpose), and needs only a handful of mats."""
+    for n in (8, 9, 10, 11):
+        for inverse, idx in ((False, cnot_ring_inverse_permutation(n)),
+                             (True, cnot_ring_permutation(n))):
+            plan, mats = pf._ring_decomp(n, inverse)
+            hi = 2 ** (n - 7)
+            s = np.random.RandomState(0).randn(3, 2 ** n).astype(np.float32)
+            want = s[:, idx]
+            got = np.zeros_like(s).reshape(3, hi, 128)
+            sv = s.reshape(3, hi, 128)
+            for h, entry in enumerate(plan):
+                for src_h, mi in entry:
+                    got[:, h] += sv[:, src_h] @ mats[mi]
+            assert np.array_equal(got.reshape(3, -1), want)
+            assert len(mats) <= 4
+
+
+def test_q8_fwd_and_grad_matches_fused():
+    _compare(*_case(8, (3, 2, 2, 1), 5))
+
+
+def test_q10_hi8_matches_fused():
+    _compare(*_case(10, (2, 2, 2, 1), 4))
+
+
+def test_multi_tile_grid_accumulates():
+    """Force bt=8 so the batch spans 3 grid tiles (with padding): the
+    cross-tile unitary-cotangent accumulation must be exact."""
+    spec, w, x, diag = _case(8, (3, 2, 2, 1), 20)
+    with mock.patch.object(pf, '_pick_bt', lambda *a: 8):
+        _compare(spec, w, x, diag)
+
+
+def test_odd_batch_padding():
+    _compare(*_case(9, (2, 1, 2, 2), 7))
+
+
+def test_encode_only_blocks():
+    """Blocks with linear_depth 0 take the H-D-H path in-kernel."""
+    spec = HEASpec(8, ((8, 1), (8, 0), (8, 2), (8, 0)))
+    _compare(*_case(8, None, 5, spec=spec))
+
+
+def test_engine_dispatch():
+    spec, w, x, diag = _case(8, (2, 1, 1, 1), 4)
+    out = hea_expectation(spec, w, x, diag=diag, engine='pfused')
+    ref = hea_expectation(spec, w, x, diag=diag, engine='fused')
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_out_of_range_falls_back():
+    """Q12 exceeds MAX_QUBITS: forward_pfused must route to the XLA
+    fused path rather than build an unsupported kernel."""
+    spec, w, x, diag = _case(12, (1, 1, 1, 1), 2)
+    assert not pf.pfused_applicable(spec)
+    out = hea_expectation(spec, w, x, diag=diag, engine='pfused')
+    ref = hea_expectation(spec, w, x, diag=diag, engine='fused')
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
