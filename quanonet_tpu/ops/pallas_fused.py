@@ -59,9 +59,9 @@ from quanonet_tpu.ops.pallas_hea import (
 LANE_QUBITS = 7
 MIN_QUBITS = 8
 MAX_QUBITS = 11          # hi = 2^(n-7) <= 16 keeps the VPU FMA fan-in sane
-AUTO_MAX_QUBITS = 10     # auto-dispatch cap: Q8/Q10 measured 3.7x/1.9x the
-#                          XLA fused path on v5e; Q11 (hi=16) is unmeasured
-#                          and stays opt-in via engine='pfused'
+AUTO_MAX_QUBITS = 11     # auto-dispatch cap = MAX_QUBITS: measured 3.7x /
+#                          1.9x / 1.3x the XLA fused path at Q8/Q10/Q11
+#                          on v5e (Q11 Net10-2-10-2: 47.6K vs 36.1K)
 VMEM_BUDGET = 64 * 1024 * 1024   # per-tile working-set target
 
 
