@@ -233,12 +233,15 @@ def _consts(n_qubits):
             fplan, np.stack(fmats), bplan, np.stack(bmats))
 
 
-def _fwd_kernel(n_qubits, runs, bt):
+def _fwd_kernel(n_qubits, runs, bt, save_residuals=True):
+    """save_residuals=False builds the primal-only variant (inference /
+    no-grad callers): skips the (nb, hb, 128) block-input saves — 51 MB
+    of HBM writes per Q10/bs128 call that only the backward reads."""
     hi, _, hsign, hscale, fplan, fmats_np, _, _ = _consts(n_qubits)
     n_fm = fmats_np.shape[0]
 
     def kernel(h7_ref, fm_ref, u7t_r_ref, u7t_i_ref, uhr_ref, uhi_ref,
-               phi_ref, sr_out, si_out, str_out, sti_out):
+               phi_ref, sr_out, si_out, str_out=None, sti_out=None):
         h7 = h7_ref[:]
         fmats = [fm_ref[i] for i in range(n_fm)]
         col = jax.lax.broadcasted_iota(jnp.int32, (hi * bt, 128), 1)
@@ -247,8 +250,9 @@ def _fwd_kernel(n_qubits, runs, bt):
         si = jnp.zeros((hi * bt, 128), jnp.float32)
 
         def block(sr, si, b, s0, ld):
-            str_out[pl.ds(b, 1)] = sr.reshape(1, hi * bt, 128)
-            sti_out[pl.ds(b, 1)] = si.reshape(1, hi * bt, 128)
+            if save_residuals:
+                str_out[pl.ds(b, 1)] = sr.reshape(1, hi * bt, 128)
+                sti_out[pl.ds(b, 1)] = si.reshape(1, hi * bt, 128)
             sr, si = _apply_h(sr, si, hi, bt, h7, hsign, hscale)
             phi = phi_ref[pl.ds(b, 1)][0]
             pr = jnp.cos(phi)
@@ -457,25 +461,29 @@ def _make_chain(n_qubits, block_configs, bt, n_tiles):
                                lambda t: (0, t, 0, 0))
     per_tile = pl.BlockSpec((None, hb, 128), lambda t: (t, 0, 0))
 
-    def fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi):
+    def fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi, save_residuals=True):
         out_shape = (
             jax.ShapeDtypeStruct((n_tiles, hb, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, hb, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
-            jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
         )
+        out_specs = (per_tile, per_tile)
+        if save_residuals:
+            out_shape += (
+                jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
+                jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
+            )
+            out_specs += (pl.BlockSpec((nb, None, hb, 128),
+                                       lambda t: (0, t, 0, 0)),
+                          pl.BlockSpec((nb, None, hb, 128),
+                                       lambda t: (0, t, 0, 0)))
         return pl.pallas_call(
-            _fwd_kernel(n_qubits, runs, bt),
+            _fwd_kernel(n_qubits, runs, bt, save_residuals),
             grid=grid,
             out_shape=out_shape,
             in_specs=[const_spec((128, 128)),
                       const_spec(fmats_np.shape),
                       u7_spec, u7_spec, uh_spec, uh_spec, per_tile_nb],
-            out_specs=(per_tile, per_tile,
-                       pl.BlockSpec((nb, None, hb, 128),
-                                    lambda t: (0, t, 0, 0)),
-                       pl.BlockSpec((nb, None, hb, 128),
-                                    lambda t: (0, t, 0, 0))),
+            out_specs=out_specs,
             interpret=_interpret(),
             compiler_params=vmem,
         )(jnp.asarray(h7_np), jnp.asarray(fmats_np),
@@ -508,7 +516,8 @@ def _make_chain(n_qubits, block_configs, bt, n_tiles):
 
     @jax.custom_vjp
     def chain(u7t_r, u7t_i, uh_r, uh_i, phi):
-        sr, si, _, _ = fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi)
+        sr, si = fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi,
+                          save_residuals=False)
         return sr, si
 
     def chain_fwd(u7t_r, u7t_i, uh_r, uh_i, phi):
