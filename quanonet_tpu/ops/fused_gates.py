@@ -242,10 +242,13 @@ def forward_fused(spec, weights, x, remat=None):
 
     gu = build_group_unitaries(spec, weights)
 
-    # hoisted per-sample encode phases: φ = 0.5 · x_b · zsignᵀ
+    # hoisted per-sample encode phases: φ = 0.5 · x_b · zsignᵀ.
+    # PRECISION PIN (quality-critical, ops/hea.py:273-280): bf16 rounding
+    # of this K=n dot random-walks into ~2% output error over the chain.
     zsgn = jnp.asarray(z_signs(n))                        # (D, n)
     xb = x.reshape(batch, nb, n).transpose(1, 0, 2)       # (B, batch, n)
-    phi = 0.5 * (xb @ zsgn.T)                             # (B, batch, D)
+    phi = 0.5 * jnp.einsum('bxn,dn->bxd', xb, zsgn,
+                           precision=jax.lax.Precision.HIGHEST)
     dr = jnp.cos(phi)
     di = -jnp.sin(phi)
 

@@ -37,6 +37,7 @@ Replaces nothing — it is a third engine ('pfused') for the same circuit
 contract as ops/fused_gates.forward_fused (uniform encode), verified
 against the gates oracle in tests/test_pallas_fused.py.
 """
+import os
 from functools import lru_cache
 
 import jax
@@ -119,11 +120,30 @@ def _apply_ring_tiles(srs, sis, plan, mats):
 
 # ── in-kernel building blocks (operate on (HB, 128) with HB = hi*bt) ────────
 
-def _kara(ar, ai, br, bi):
-    t1 = jnp.dot(ar, br, preferred_element_type=jnp.float32)
-    t2 = jnp.dot(ai, bi, preferred_element_type=jnp.float32)
-    t3 = jnp.dot(ar + ai, br + bi, preferred_element_type=jnp.float32)
-    return t1 - t2, t3 - t1 - t2
+def _make_kara(use_bf16):
+    """Karatsuba complex matmul (3 real matmuls).  use_bf16 casts the
+    operands for single-pass MXU issue (f32 on this backend lowers to
+    multi-pass) with f32 accumulation — the same precision class as the
+    XLA fused engine's default-precision einsums.  The exact-f32 variant
+    is used under jax_default_matmul_precision='highest'/'float32'
+    (which is what compare_engines forces) and on CPU interpret runs."""
+    if use_bf16:
+        def dot(a, b):
+            return jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                           preferred_element_type=jnp.float32)
+    else:
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+    def kara(ar, ai, br, bi):
+        t1 = dot(ar, br)
+        t2 = dot(ai, bi)
+        t3 = dot(ar + ai, br + bi)
+        return t1 - t2, t3 - t1 - t2
+    return kara
+
+
+_kara = _make_kara(False)   # exact variant (backward-compat name)
 
 
 def _split(s, hi, bt):
@@ -196,6 +216,13 @@ def _ring(sr, si, hi, bt, plan, mats):
     return jnp.concatenate(nr, 0), jnp.concatenate(ni, 0)
 
 
+def _apply_diag(sr, si, phi):
+    """Per-sample encode diagonal: (sr, si) *= e^{-i phi} (VPU trig)."""
+    pr = jnp.cos(phi)
+    pi = -jnp.sin(phi)
+    return pr * sr - pi * si, pr * si + pi * sr
+
+
 def _runs(block_configs):
     """Runs of consecutive blocks with equal linear_depth:
     ((sub_offset, block_offset, g, ld), ...)."""
@@ -233,12 +260,20 @@ def _consts(n_qubits):
             fplan, np.stack(fmats), bplan, np.stack(bmats))
 
 
-def _fwd_kernel(n_qubits, runs, bt, save_residuals=True):
+def _static_unroll() -> bool:
+    """PFUSED_STATIC=1 unrolls the block chain statically in-kernel
+    (experiment: dynamic fori_loop ref slices may inhibit Mosaic
+    pipelining; the cost is a much larger kernel body -> compile time)."""
+    return os.environ.get('PFUSED_STATIC') == '1'
+
+
+def _fwd_kernel(n_qubits, runs, bt, save_residuals=True, use_bf16=False):
     """save_residuals=False builds the primal-only variant (inference /
     no-grad callers): skips the (nb, hb, 128) block-input saves — 51 MB
     of HBM writes per Q10/bs128 call that only the backward reads."""
     hi, _, hsign, hscale, fplan, fmats_np, _, _ = _consts(n_qubits)
     n_fm = fmats_np.shape[0]
+    _kara = _make_kara(use_bf16)
 
     def kernel(h7_ref, fm_ref, u7t_r_ref, u7t_i_ref, uhr_ref, uhi_ref,
                phi_ref, sr_out, si_out, str_out=None, sti_out=None):
@@ -254,10 +289,7 @@ def _fwd_kernel(n_qubits, runs, bt, save_residuals=True):
                 str_out[pl.ds(b, 1)] = sr.reshape(1, hi * bt, 128)
                 sti_out[pl.ds(b, 1)] = si.reshape(1, hi * bt, 128)
             sr, si = _apply_h(sr, si, hi, bt, h7, hsign, hscale)
-            phi = phi_ref[pl.ds(b, 1)][0]
-            pr = jnp.cos(phi)
-            pi = -jnp.sin(phi)
-            sr, si = pr * sr - pi * si, pr * si + pi * sr
+            sr, si = _apply_diag(sr, si, phi_ref[pl.ds(b, 1)][0])
             if ld == 0:  # encoding-only block: trailing left Hadamard
                 return _apply_h(sr, si, hi, bt, h7, hsign, hscale)
             for d in range(ld):
@@ -273,19 +305,27 @@ def _fwd_kernel(n_qubits, runs, bt, save_residuals=True):
                 sr, si = _ring(sr, si, hi, bt, fplan, fmats)
             return sr, si
 
-        for s0, b0, g, ld in runs:
-            def body(i, carry, _s0=s0, _b0=b0, _ld=ld):
-                sr, si = carry
-                return block(sr, si, _b0 + i, _s0 + i * _ld, _ld)
-            sr, si = jax.lax.fori_loop(0, g, body, (sr, si))
+        if _static_unroll():
+            # fully unrolled block chain: static ref slices let Mosaic
+            # prefetch/software-pipeline across blocks (pallas_hea style)
+            for s0, b0, g, ld in runs:
+                for i in range(g):
+                    sr, si = block(sr, si, b0 + i, s0 + i * ld, ld)
+        else:
+            for s0, b0, g, ld in runs:
+                def body(i, carry, _s0=s0, _b0=b0, _ld=ld):
+                    sr, si = carry
+                    return block(sr, si, _b0 + i, _s0 + i * _ld, _ld)
+                sr, si = jax.lax.fori_loop(0, g, body, (sr, si))
         sr_out[:], si_out[:] = sr, si
     return kernel
 
 
-def _bwd_kernel(n_qubits, runs, bt):
+def _bwd_kernel(n_qubits, runs, bt, use_bf16=False):
     hi, _, hsign, hscale, fplan, fmats_np, bplan, bmats_np = \
         _consts(n_qubits)
     n_fm, n_bm = fmats_np.shape[0], bmats_np.shape[0]
+    _kara = _make_kara(use_bf16)
 
     def kernel(h7_ref, fm_ref, bm_ref, u7t_r_ref, u7t_i_ref,
                uhr_ref, uhi_ref, phi_ref,
@@ -415,23 +455,29 @@ def _untile_rows(a, hi, bt, n_tiles):
             .reshape(n_tiles * bt, hi * 128))
 
 
-def _workset_bytes(nb, n_sub, hi, bt):
-    """Per-tile VMEM bytes (backward is the high-water mark): resident
-    unitaries + their cotangent accumulators, per-tile phi/saved/grad/
-    phibar slabs, ~8 live (hi*bt, 128) temporaries, ring constants."""
+def _workset_bytes(nb, n_sub, hi, bt, primal=False):
+    """Per-tile VMEM bytes.  For the train path the backward is the
+    high-water mark: resident unitaries + their cotangent accumulators,
+    per-tile phi/saved/grad/phibar slabs, ~8 live (hi*bt, 128)
+    temporaries, ring constants.  The primal-only forward carries no
+    residual saves or accumulators, so it can run much larger tiles
+    (often the whole batch in one — measured ~20% faster at Q10, the
+    per-extra-grid-step cost being ~60 us)."""
     row = hi * bt * 128 * 4
+    if primal:
+        return (2 * n_sub * 128 * 128 * 4 + (nb + 2) * row
+                + 8 * row + 8 * 128 * 128 * 4)
     mats = 4 * n_sub * 128 * 128 * 4          # u7t pair + u7bar pair
     slabs = (3 * nb + 2 + nb) * row           # phi+str+sti, g, phibar
     return mats + slabs + 8 * row + 8 * 128 * 128 * 4
 
 
-def _pick_bt(nb, n_sub, hi, batch):
-    import os
+def _pick_bt(nb, n_sub, hi, batch, primal=False):
     env = os.environ.get('PFUSED_BT')   # A/B override for tile tuning
     if env:
         return int(env)
     bt = max(8, -(-batch // 8) * 8)
-    while bt > 8 and _workset_bytes(nb, n_sub, hi, bt) > VMEM_BUDGET:
+    while bt > 8 and _workset_bytes(nb, n_sub, hi, bt, primal) > VMEM_BUDGET:
         bt = max(8, (bt // 2 + 7) // 8 * 8)
         if bt == 8:
             break
@@ -439,17 +485,22 @@ def _pick_bt(nb, n_sub, hi, batch):
 
 
 @lru_cache(maxsize=32)
-def _make_chain(n_qubits, block_configs, bt, n_tiles):
-    """custom-vjp fused-group chain for a fixed spec/tiling:
-    (u7t_r, u7t_i, uh_r, uh_i, phi_tiled) -> (sr, si) tiled."""
+def _make_chain(n_qubits, block_configs, batch, use_bf16=False):
+    """custom-vjp fused-group chain for a fixed spec and batch:
+    (u7t_r, u7t_i, uh_r, uh_i, phi) -> (sr, si), phi and the outputs in
+    plain (nb, batch, 2^n) / (batch, 2^n) layout.  Batch padding and the
+    row tiling live INSIDE each branch so the primal-only forward can
+    pick a larger tile than the residual-laden train path (no residual
+    saves -> the whole batch usually fits one tile; measured ~20%
+    faster at Q10)."""
     runs = _runs(block_configs)
     nb = len(block_configs)
     n_sub = sum(ld for _, ld in block_configs)
     hi = 2 ** (n_qubits - LANE_QUBITS)
-    hb = hi * bt
-    grid = (n_tiles,)
     vmem = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
     _, h7_np, _, _, _, fmats_np, _, bmats_np = _consts(n_qubits)
+    bt_train = _pick_bt(nb, n_sub, hi, batch)
+    bt_primal = _pick_bt(nb, n_sub, hi, batch, primal=True)
 
     def const_spec(shape):
         nd = len(shape)
@@ -457,11 +508,26 @@ def _make_chain(n_qubits, block_configs, bt, n_tiles):
 
     u7_spec = const_spec((n_sub, 128, 128))
     uh_spec = const_spec((n_sub, hi, hi))
-    per_tile_nb = pl.BlockSpec((nb, None, hb, 128),
-                               lambda t: (0, t, 0, 0))
-    per_tile = pl.BlockSpec((None, hb, 128), lambda t: (t, 0, 0))
 
-    def fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi, save_residuals=True):
+    def tiling(bt):
+        bp = -(-batch // bt) * bt
+        n_tiles = bp // bt
+        hb = hi * bt
+        per_tile_nb = pl.BlockSpec((nb, None, hb, 128),
+                                   lambda t: (0, t, 0, 0))
+        per_tile = pl.BlockSpec((None, hb, 128), lambda t: (t, 0, 0))
+
+        def tile(a):
+            """(nb?, batch, 2^n) -> (nb?, n_tiles, hb, 128), zero-pad."""
+            pad = ((0, 0),) * (a.ndim - 2) + ((0, bp - batch), (0, 0))
+            return _tile_rows(jnp.pad(a, pad), hi, bt, n_tiles)
+
+        def untile(a):
+            return _untile_rows(a, hi, bt, n_tiles)[:batch]
+        return bp, n_tiles, hb, per_tile_nb, per_tile, tile, untile
+
+    def fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi_t, bt, save_residuals):
+        bp, n_tiles, hb, per_tile_nb, per_tile, _, _ = tiling(bt)
         out_shape = (
             jax.ShapeDtypeStruct((n_tiles, hb, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_tiles, hb, 128), jnp.float32),
@@ -472,13 +538,10 @@ def _make_chain(n_qubits, block_configs, bt, n_tiles):
                 jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
                 jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
             )
-            out_specs += (pl.BlockSpec((nb, None, hb, 128),
-                                       lambda t: (0, t, 0, 0)),
-                          pl.BlockSpec((nb, None, hb, 128),
-                                       lambda t: (0, t, 0, 0)))
+            out_specs += (per_tile_nb, per_tile_nb)
         return pl.pallas_call(
-            _fwd_kernel(n_qubits, runs, bt, save_residuals),
-            grid=grid,
+            _fwd_kernel(n_qubits, runs, bt, save_residuals, use_bf16),
+            grid=(n_tiles,),
             out_shape=out_shape,
             in_specs=[const_spec((128, 128)),
                       const_spec(fmats_np.shape),
@@ -487,9 +550,11 @@ def _make_chain(n_qubits, block_configs, bt, n_tiles):
             interpret=_interpret(),
             compiler_params=vmem,
         )(jnp.asarray(h7_np), jnp.asarray(fmats_np),
-          u7t_r, u7t_i, uh_r, uh_i, phi)
+          u7t_r, u7t_i, uh_r, uh_i, phi_t)
 
-    def bwd_call(u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti, gr, gi):
+    def bwd_call(u7t_r, u7t_i, uh_r, uh_i, phi_t, str_, sti, gr, gi):
+        bt = bt_train
+        bp, n_tiles, hb, per_tile_nb, per_tile, _, _ = tiling(bt)
         out_shape = (
             jax.ShapeDtypeStruct((n_sub, 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, 128, 128), jnp.float32),
@@ -498,36 +563,43 @@ def _make_chain(n_qubits, block_configs, bt, n_tiles):
             jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
         )
         return pl.pallas_call(
-            _bwd_kernel(n_qubits, runs, bt),
-            grid=grid,
+            _bwd_kernel(n_qubits, runs, bt, use_bf16),
+            grid=(n_tiles,),
             out_shape=out_shape,
             in_specs=[const_spec((128, 128)),
                       const_spec(fmats_np.shape),
                       const_spec(bmats_np.shape),
                       u7_spec, u7_spec, uh_spec, uh_spec, per_tile_nb,
                       per_tile_nb, per_tile_nb, per_tile, per_tile],
-            out_specs=(u7_spec, u7_spec, uh_spec, uh_spec,
-                       pl.BlockSpec((nb, None, hb, 128),
-                                    lambda t: (0, t, 0, 0))),
+            out_specs=(u7_spec, u7_spec, uh_spec, uh_spec, per_tile_nb),
             interpret=_interpret(),
             compiler_params=vmem,
         )(jnp.asarray(h7_np), jnp.asarray(fmats_np), jnp.asarray(bmats_np),
-          u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti, gr, gi)
+          u7t_r, u7t_i, uh_r, uh_i, phi_t, str_, sti, gr, gi)
 
     @jax.custom_vjp
     def chain(u7t_r, u7t_i, uh_r, uh_i, phi):
-        sr, si = fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi,
-                          save_residuals=False)
-        return sr, si
+        _, _, _, _, _, tile, untile = tiling(bt_primal)
+        sr, si = fwd_call(u7t_r, u7t_i, uh_r, uh_i, tile(phi),
+                          bt_primal, save_residuals=False)
+        return untile(sr), untile(si)
 
     def chain_fwd(u7t_r, u7t_i, uh_r, uh_i, phi):
-        sr, si, str_, sti = fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi)
-        return (sr, si), (u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti)
+        _, _, _, _, _, tile, untile = tiling(bt_train)
+        phi_t = tile(phi)
+        sr, si, str_, sti = fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi_t,
+                                     bt_train, save_residuals=True)
+        return ((untile(sr), untile(si)),
+                (u7t_r, u7t_i, uh_r, uh_i, phi_t, str_, sti))
 
     def chain_bwd(res, g):
-        u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti = res
+        u7t_r, u7t_i, uh_r, uh_i, phi_t, str_, sti = res
+        _, _, _, _, _, tile, untile = tiling(bt_train)
         u7br, u7bi, uhbr, uhbi, phibar = bwd_call(
-            u7t_r, u7t_i, uh_r, uh_i, phi, str_, sti, g[0], g[1])
+            u7t_r, u7t_i, uh_r, uh_i, phi_t, str_, sti,
+            tile(g[0]), tile(g[1]))
+        # phibar back to the caller's (nb, batch, 2^n) layout
+        phibar = jax.vmap(untile)(phibar)
         return u7br, u7bi, uhbr, uhbi, phibar
 
     chain.defvjp(chain_fwd, chain_bwd)
@@ -540,6 +612,19 @@ def pfused_applicable(spec, batch=None):
     return (MIN_QUBITS <= spec.n_qubits <= MAX_QUBITS
             and spec.uniform_encode
             and spec.n_blocks >= 1)
+
+
+def _use_bf16():
+    """Negative result, kept as an opt-in experiment (PFUSED_BF16=1):
+    bf16-operand MXU matmuls measured NO faster than f32 at Q10
+    (36.4K vs 37.4K samples/s) — the karas are already pipelined to
+    ~0.035 us each (ablation: replacing the 3-matmul Karatsuba with one
+    dot saves only 23 us of a 921 us forward), so the kernel is bound
+    by VPU trig/FMA and per-block overhead, not MXU passes.  Default is
+    exact f32 at every precision setting — stronger than the XLA fused
+    path, which goes bf16 under default matmul precision."""
+    return (os.environ.get('PFUSED_BF16') == '1'
+            and jax.default_backend() == 'tpu')
 
 
 def forward_pfused(spec, weights, x):
@@ -568,19 +653,13 @@ def forward_pfused(spec, weights, x):
 
     # hoisted per-sample encode phases (same math as forward_fused)
     zsgn = jnp.asarray(z_signs(n))
-    bt = _pick_bt(nb, n_sub, hi, batch)
-    bp = -(-batch // bt) * bt
-    n_tiles = bp // bt
-    xp = jnp.pad(x, ((0, bp - batch), (0, 0)))
-    xb = xp.reshape(bp, nb, n).transpose(1, 0, 2)      # (nb, bp, n)
-    phi = 0.5 * (xb @ zsgn.T)                          # (nb, bp, 2^n)
-    phi_t = _tile_rows(phi, hi, bt, n_tiles)
+    xb = x.reshape(batch, nb, n).transpose(1, 0, 2)    # (nb, batch, n)
+    # PRECISION PIN (quality-critical, ops/hea.py:273-280)
+    phi = 0.5 * jnp.einsum('bxn,dn->bxd', xb, zsgn,
+                           precision=jax.lax.Precision.HIGHEST)
 
-    chain = _make_chain(n, tuple(spec.block_configs), bt, n_tiles)
-    sr, si = chain(u7t_r, u7t_i, uh_r, uh_i, phi_t)
-    sr = _untile_rows(sr, hi, bt, n_tiles)[:batch]
-    si = _untile_rows(si, hi, bt, n_tiles)[:batch]
-    return sr, si
+    chain = _make_chain(n, tuple(spec.block_configs), batch, _use_bf16())
+    return chain(u7t_r, u7t_i, uh_r, uh_i, phi)
 
 
 def hea_expectation_pfused(spec, weights, x, diag):

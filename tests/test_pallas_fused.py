@@ -83,7 +83,7 @@ def test_multi_tile_grid_accumulates():
     """Force bt=8 so the batch spans 3 grid tiles (with padding): the
     cross-tile unitary-cotangent accumulation must be exact."""
     spec, w, x, diag = _case(8, (3, 2, 2, 1), 20)
-    with mock.patch.object(pf, '_pick_bt', lambda *a: 8):
+    with mock.patch.object(pf, '_pick_bt', lambda *a, **k: 8):
         _compare(spec, w, x, diag)
 
 
