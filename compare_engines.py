@@ -251,7 +251,36 @@ def test_pfused_engine():
     dg = np.abs(g1 - g2).max()
     ok = df <= FWD_TOL_QUANTUM and dg <= GRAD_TOL
     report("Q8 fused≡pfused", ok, f"(fwd {df:.2e}, grad {dg:.2e})")
-    return ok
+
+    # multi-tile grid: force bt=8 so batch 6 pads to 8 and a batch-16
+    # case spans 2 grid tiles — exercises the cross-tile cotangent
+    # accumulation (revisited constant-index output blocks) ON HARDWARE,
+    # which single-tile shapes never hit.
+    import os as _os
+    from quanonet_tpu.ops import pallas_fused as _pf
+    x2 = jnp.asarray(rng.uniform(-2, 2,
+                                 (16, spec.total_encode)).astype(np.float32))
+    _os.environ['PFUSED_BT'] = '8'
+    _pf._make_chain.cache_clear()
+    try:
+        def one2(eng):
+            out = np.asarray(hea_expectation(spec, w, x2, diag=diag,
+                                             engine=eng))
+            g = np.asarray(jax.grad(
+                lambda w_: jnp.sum(hea_expectation(spec, w_, x2, diag=diag,
+                                                   engine=eng) ** 2))(w))
+            return out, g
+        o3, g3 = one2('fused')
+        o4, g4 = one2('pfused')
+    finally:
+        del _os.environ['PFUSED_BT']
+        _pf._make_chain.cache_clear()
+    df2 = np.abs(o3 - o4).max()
+    dg2 = np.abs(g3 - g4).max()
+    ok2 = df2 <= FWD_TOL_QUANTUM and dg2 <= GRAD_TOL
+    report("Q8 fused≡pfused (2-tile grid)", ok2,
+           f"(fwd {df2:.2e}, grad {dg2:.2e})")
+    return ok and ok2
 
 
 def test_classical_models():
