@@ -95,7 +95,8 @@ def get_base_parser():
 
     # TPU-native extensions (absent in the reference)
     parser.add_argument('--engine', type=str, default=None,
-                        choices=['auto', 'dense', 'gates', 'fused', 'pallas', 'embed'],
+                        choices=['auto', 'dense', 'gates', 'fused', 'pallas',
+                                 'embed', 'pfused'],
                         help='Gate-application strategy for the statevector engine')
     parser.add_argument('--num_devices', type=int, default=None,
                         help='Devices for the data-parallel mesh (default: all)')
