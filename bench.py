@@ -139,6 +139,14 @@ def main():
                          '0.085-0.087 vs the anchor\'s 0.169, 2x better '
                          'on every seed at identical throughput '
                          '(docs/BENCHMARKS.md recipe study).')
+    ap.add_argument('--anchor_crossing', action='store_true',
+                    help='evaluate test rel-L2 at every epoch-segment '
+                         'boundary and report the first epoch at which '
+                         'each run beats the in-run anchor score (the '
+                         'time-to-matched-quality study).  Throughput is '
+                         'then measured as the sum of per-segment device '
+                         'times (evals excluded); the default mode is '
+                         'untouched.')
     ap.add_argument('--f32_tail', type=int, default=0,
                     help='run the LAST N epoch segments at matmul '
                          'precision "highest" (f32, 6-pass).  Default 0: '
@@ -291,6 +299,7 @@ def main():
 
     sps = None
     rels = []
+    crossings = []   # --anchor_crossing: per-run [(epoch, rel_l2), ...]
     for run in range(runs):
         # the Solver's per-seed protocol (solver.py:269-272,337-339):
         # seed=run keys both the init and the epoch shuffles
@@ -311,6 +320,38 @@ def main():
         if run == 0:
             log(f"compile+first segment ({seg} epochs): "
                 f"{time.time() - t0:.1f}s (best loss {l0:.4f})")
+
+        if args.anchor_crossing:
+            # time-to-matched-quality mode: eval test rel-L2 of the
+            # best-so-far params at EVERY segment boundary; throughput =
+            # sum of per-segment device times (evals excluded), same
+            # program shape as the default mode
+            track = [(seg, eval_rel_l2(best_params))]
+            tsum = 0.0
+            for i in range(1, n_segs):
+                t0 = time.time()
+                params, opt_state, best_loss, best_params, hist = \
+                    run_segment(params, opt_state, best_loss, best_params,
+                                seg_keys[i], inputs, target)
+                _sync = float(best_loss)   # value sync before the eval
+                tsum += time.time() - t0
+                track.append(((i + 1) * seg, eval_rel_l2(best_params)))
+            crossings.append(track)
+            if run == 0 and n_segs > 1:
+                sps = (epochs - seg) * n / tsum
+                log(f"timed (per-segment sum): {epochs - seg} epochs x "
+                    f"{n} samples in {tsum:.2f}s => {sps:,.0f} "
+                    f"samples/sec")
+            first = next((e for e, r in track if r < anchor), None)
+            log(f"run {run}: first epoch beating anchor "
+                f"({anchor:.4f}): {first}; trajectory "
+                + " ".join(f"{e}:{r:.4f}" for e, r in track))
+            bl = float(best_loss)
+            rel = eval_rel_l2(best_params)
+            rels.append(rel)
+            log(f"run {run}: best-epoch train MSE {bl:.6f} -> "
+                f"test rel_l2 {rel:.4f}")
+            continue
 
         # timed region (run 0 only): same program shape, zero recompiles
         timed_segs = min(n_segs - 1, 3)
@@ -412,6 +453,12 @@ def main():
         "f32_tail_segs": f32_tail,
         "platform": platform,
         **({"tpu_unreachable": True} if tpu_unreachable else {}),
+        **({"anchor_crossing_runs":
+                [[[e, round(r, 4)] for e, r in t] for t in crossings],
+            "epochs_to_anchor":
+                [next((e for e, r in t if r < anchor), None)
+                 for t in crossings]}
+           if args.anchor_crossing else {}),
         "model_tflops_per_sec": (round(model_tflops, 4)
                                  if model_tflops is not None else None),
         "mfu_pct": round(mfu * 100, 4) if mfu is not None else None,
