@@ -22,7 +22,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from quanonet_tpu.checkpoint import load_raw
 from quanonet_tpu.ibm_export import (
     build_gate_list, fetch_ibm_job, ideal_predictions, qiskit_available,
-    simulate_gate_list, submit_to_ibm, to_qasm2, unpack_quanonet_weights,
+    shot_predictions, simulate_gate_list, submit_to_ibm, to_qasm2,
+    unpack_quanonet_weights,
 )
 from quanonet_tpu.infer import _parse_path, evaluate
 from quanonet_tpu.ops.hamiltonian import simple_ham_params
@@ -97,6 +98,17 @@ def main():
     m = evaluate(ideal_pred, true_solution)
     print(f"[Ideal] MSE: {m['mse']:.2e} | Relative L2: {m['rel_l2']:.2%}")
 
+    # finite-shot emulation of the planned QPU job (ops/sampling.py):
+    # predicts the shot-noise floor BEFORE spending hardware time
+    sampled_pred, shot_std = shot_predictions(
+        raw, net_size, num_qubits, branch_vec, trunk_vec,
+        ham_bound=args.ham_bound, shots=args.shots)
+    ms = evaluate(sampled_pred, true_solution)
+    print(f"[Sampled @{args.shots} shots] MSE: {ms['mse']:.2e} | "
+          f"Relative L2: {ms['rel_l2']:.2%} | "
+          f"shot-noise std (mean over points): "
+          f"{float(np.mean(shot_std)):.2e}")
+
     # gate-level export + self-verification
     os.makedirs(args.export_dir, exist_ok=True)
     export_idx = np.linspace(0, num_points - 1, args.export_points,
@@ -126,6 +138,9 @@ def main():
         'observable': f'sum_i Z_i over {num_qubits} qubits',
         'shots': args.shots,
         'points': export_idx.tolist(),
+        # predicted shot-noise floor of the planned job (ops/sampling.py)
+        'expected_shot_noise_std_mean': float(np.mean(shot_std)),
+        'sampled_rel_l2_at_shots': float(ms['rel_l2']),
     }
     with open(os.path.join(args.export_dir, 'manifest.json'), 'w') as f:
         json.dump(manifest, f, indent=2)

@@ -173,6 +173,62 @@ def ideal_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
     return np.asarray(model.apply(params, b, t))[:, 0]
 
 
+def shot_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
+                     ham_bound=(-5.0, 5.0), shots=10_000, seed=0):
+    """Finite-shot predictions + analytic shot-noise std per point — the
+    decoherence-free emulation of the reference's 10,000-shot EstimatorV2
+    job (ibm_inference.py:269-276), so the shot-noise floor of a planned
+    QPU submission is known BEFORE burning QPU time.
+
+    Returns (sampled_preds, shot_std), both (n_points,) float64.
+    """
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.checkpoint import quantum_params_from_raw
+    from quanonet_tpu.models import QuanONet
+    from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+    from quanonet_tpu.ops.hea import hea_forward_pair, quanonet_spec
+    from quanonet_tpu.ops.sampling import shot_noise_std
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        quantum_params_from_raw(raw, 'QuanONet', tuple(net_size),
+                                num_qubits, True))
+    n_pts = len(trunk_points)
+    b = jnp.asarray(np.tile(branch_vec, (n_pts, 1)).astype(np.float32))
+    t = jnp.asarray(np.asarray(trunk_points, np.float32).reshape(-1, 1))
+
+    # the sampled forward, via the model's shots attribute + rng
+    model = QuanONet(num_qubits=num_qubits,
+                     branch_input_size=len(branch_vec),
+                     trunk_input_size=1, net_size=tuple(net_size),
+                     if_trainable_freq=True, ham_bound=tuple(ham_bound),
+                     shots=int(shots))
+    key = jax.random.PRNGKey(seed)
+    sampled = np.asarray(model.apply(params, b, t,
+                                     rngs={'shots': key}))[:, 0]
+
+    # analytic std needs the pre-measurement state: run the model's own
+    # encoder submodules on their param sub-trees, then the engine
+    from quanonet_tpu.models.layers import TrainableFreq
+    diag = jnp.asarray(simple_ham_diag(num_qubits, *ham_bound))
+    bd, _, td, _ = tuple(net_size)
+    p = params['params']
+    spec = quanonet_spec(num_qubits, tuple(net_size))
+
+    def state_std(b_, t_):
+        trunk_enc = TrainableFreq(td * num_qubits).apply(
+            {'params': p['trunk_freq']}, t_)
+        branch_enc = TrainableFreq(bd * num_qubits).apply(
+            {'params': p['branch_freq']}, b_)
+        x = jnp.concatenate([trunk_enc, branch_enc], axis=1)
+        sr, si = hea_forward_pair(spec, p['ansatz'], x)
+        return shot_noise_std(sr, si, diag, int(shots))[:, 0]
+
+    std = np.asarray(jax.jit(state_std)(b, t))
+    return sampled.astype(np.float64), std.astype(np.float64)
+
+
 # ── qiskit-gated extras ──────────────────────────────────────────────────────
 
 def qiskit_available() -> bool:

@@ -138,7 +138,9 @@ def _build_model(cfg: dict, branch_in: int, trunk_in: int):
                   ham_bound=tuple(cfg['ham_bound']),
                   ham_diag=(tuple(cfg['ham_diag'])
                             if cfg.get('ham_diag') is not None else None),
-                  ham_pauli=cfg.get('ham_pauli', 'Z'))
+                  ham_pauli=cfg.get('ham_pauli', 'Z'),
+                  shots=(int(cfg['shots'])
+                         if cfg.get('shots') else None))
         if mt == 'QuanONet':
             return QuanONet(branch_input_size=branch_in,
                             trunk_input_size=trunk_in, **kw)
@@ -183,7 +185,7 @@ def load_model(ckpt_path: str, branch_in: int, trunk_in: int = 0,
 
 
 def predict(model, params, branch_input, trunk_input=None, cfg=None,
-            batch_size=None):
+            batch_size=None, shot_seed=0):
     """Batched inference (reference infer.py:235-291 signature policy:
     QuanONet/DeepONet take (branch, trunk); FNN takes the concatenation;
     HEAQNN takes branch only; FNO takes the grid tensor).
@@ -191,7 +193,11 @@ def predict(model, params, branch_input, trunk_input=None, cfg=None,
     batch_size defaults to 20000: inference is a pure forward pass, and
     on the tunneled TPU backend each program dispatch costs ~5 ms RPC
     plus a one-time compile per shape — the reference's 128-sample
-    batches would turn a 1-minute job into ~15 minutes."""
+    batches would turn a 1-minute job into ~15 minutes.
+
+    When the model was loaded with ``shots`` set (finite-shot QPU
+    emulation, ops/sampling.py), predictions are sampled; ``shot_seed``
+    makes them replayable (each batch gets an independent fold of it)."""
     import jax
     import jax.numpy as jnp
 
@@ -202,21 +208,28 @@ def predict(model, params, branch_input, trunk_input=None, cfg=None,
     has_trunk_tuple = trunk_input is not None and \
         model_type in ('QuanONet', 'DeepONet')
     has_trunk_concat = trunk_input is not None and model_type in ('FNN',)
+    sampled = bool(getattr(model, 'shots', None))
 
     n = branch_input.shape[0]
-    fwd = jax.jit(lambda *inp: model.apply(params, *inp))
+    if sampled:
+        fwd = jax.jit(lambda key, *inp: model.apply(
+            params, *inp, rngs={'shots': key}))
+        base_key = jax.random.PRNGKey(shot_seed)
+    else:
+        fwd = jax.jit(lambda *inp: model.apply(params, *inp))
     preds = []
     for s in range(0, n, batch_size):
         b = jnp.asarray(branch_input[s:s + batch_size].astype(np.float32))
+        args = (jax.random.fold_in(base_key, s),) if sampled else ()
         if has_trunk_tuple:
             t = jnp.asarray(trunk_input[s:s + batch_size].astype(np.float32))
-            out = fwd(b, t)
+            out = fwd(*args, b, t)
         elif has_trunk_concat:
             t = trunk_input[s:s + batch_size].astype(np.float32)
-            out = fwd(jnp.asarray(
+            out = fwd(*args, jnp.asarray(
                 np.concatenate([np.asarray(b), t], axis=1)))
         else:
-            out = fwd(b)
+            out = fwd(*args, b)
         preds.append(np.asarray(out))
     return np.concatenate(preds, axis=0)
 
@@ -259,6 +272,12 @@ def _parser():
                         'every backend maps onto the one JAX engine here, '
                         'so this only annotates the config')
     p.add_argument('--ham_bound', type=float, nargs=2, default=None)
+    p.add_argument('--shots', type=int, default=None,
+                   help='Finite-shot measurement sampling (QPU emulation): '
+                        'estimate each prediction from N sampled shots '
+                        'instead of the exact expectation')
+    p.add_argument('--shot_seed', type=int, default=0,
+                   help='PRNG seed for --shots sampling (replayable)')
     return p
 
 
@@ -325,15 +344,19 @@ def main(argv=None):
     overrides = dict(model_type=args.model_type, num_qubits=args.num_qubits,
                      net_size=args.net_size, scale_coeff=args.scale_coeff,
                      ham_bound=args.ham_bound,
-                     quantum_backend=args.quantum_backend)
+                     quantum_backend=args.quantum_backend,
+                     shots=args.shots)
     model, params, cfg = load_model(args.ckpt, branch_in=branch_in,
                                     trunk_in=trunk_in, **overrides)
     print(f"Model : {cfg['model_type']}  backend={cfg['_backend']}")
     print(f"Config: net_size={cfg['net_size']}  "
           f"num_qubits={cfg.get('num_qubits', '-')}")
+    if cfg.get('shots'):
+        print(f"Shots : {cfg['shots']} per prediction "
+              f"(sampled measurement, seed={args.shot_seed})")
 
     preds = predict(model, params, branch, trunk, cfg=cfg,
-                    batch_size=args.batch_size)
+                    batch_size=args.batch_size, shot_seed=args.shot_seed)
     print(f"Output: {preds.shape}")
 
     if y_true is not None:

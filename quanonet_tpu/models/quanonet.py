@@ -34,13 +34,23 @@ from quanonet_tpu.ops.hea import (
 )
 
 
-def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine):
+def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
+             shots=None, shot_key=None):
+    if shots:
+        from quanonet_tpu.ops.sampling import shot_expectation
     if ham_pauli == 'Z' or ham_diag is not None:
         diag = jnp.asarray(
             resolve_ham_diag(spec.n_qubits, list(ham_bound),
                              list(ham_diag) if ham_diag is not None else None))
+        if shots:
+            return shot_expectation(shot_key, spec, ansatz, x, shots,
+                                    diag=diag, engine=engine)
         return hea_expectation(spec, ansatz, x, diag=diag, engine=engine)
     offset, coeff = simple_ham_params(spec.n_qubits, ham_bound[0], ham_bound[1])
+    if shots:
+        return shot_expectation(shot_key, spec, ansatz, x, shots,
+                                pauli=ham_pauli, offset=offset, coeff=coeff,
+                                engine=engine)
     return hea_expectation(spec, ansatz, x, pauli=ham_pauli,
                            offset=offset, coeff=coeff, engine=engine)
 
@@ -57,6 +67,9 @@ class QuanONet(nn.Module):
     ham_diag: Optional[Tuple[float, ...]] = None
     ham_pauli: str = 'Z'
     engine: str = 'auto'
+    # Finite-shot measurement (QPU emulation, ops/sampling.py).  When set,
+    # apply() needs an rng: model.apply(params, b, t, rngs={'shots': key}).
+    shots: Optional[int] = None
 
     @nn.compact
     def __call__(self, branch_input, trunk_input):
@@ -85,8 +98,10 @@ class QuanONet(nn.Module):
             lambda key, _: init_ansatz_weights(key, spec),
             spec.weight_shape())
         bias = self.param('bias', nn.initializers.zeros, ())
+        shot_key = self.make_rng('shots') if self.shots else None
         out = _measure(spec, ansatz, x, self.ham_bound, self.ham_diag,
-                       self.ham_pauli, self.engine)
+                       self.ham_pauli, self.engine,
+                       shots=self.shots, shot_key=shot_key)
         return out + bias
 
 
@@ -102,6 +117,7 @@ class HEAQNN(nn.Module):
     ham_diag: Optional[Tuple[float, ...]] = None
     ham_pauli: str = 'Z'
     engine: str = 'auto'
+    shots: Optional[int] = None  # finite-shot measurement (see QuanONet)
 
     @nn.compact
     def __call__(self, x):
@@ -118,5 +134,7 @@ class HEAQNN(nn.Module):
             'ansatz',
             lambda key, _: init_ansatz_weights(key, spec),
             spec.weight_shape())
+        shot_key = self.make_rng('shots') if self.shots else None
         return _measure(spec, ansatz, enc, self.ham_bound, self.ham_diag,
-                        self.ham_pauli, self.engine)
+                        self.ham_pauli, self.engine,
+                        shots=self.shots, shot_key=shot_key)
