@@ -42,13 +42,42 @@ def _random_case(seed):
     return spec, w, x, diag
 
 
+# dense-oracle results cached per seed: the dense fwd/grad would
+# otherwise be recompiled identically for each of the 4 engine
+# parametrizations (single-core XLA compile dominates this file)
+_DENSE_FWD = {}
+_DENSE_GRAD = {}
+
+
+def _dense_fwd(seed):
+    if seed not in _DENSE_FWD:
+        spec, w, x, diag = _random_case(seed)
+        _DENSE_FWD[seed] = np.asarray(
+            hea_expectation(spec, w, x, diag=diag, engine='dense'))
+    return _DENSE_FWD[seed]
+
+
+def _loss(spec, x, diag, engine):
+    def f(w):
+        return jnp.sum(hea_expectation(spec, w, x, diag=diag,
+                                       engine=engine) ** 2)
+    return f
+
+
+def _dense_grad(seed):
+    if seed not in _DENSE_GRAD:
+        spec, w, x, diag = _random_case(seed)
+        _DENSE_GRAD[seed] = np.asarray(
+            jax.grad(_loss(spec, x, diag, 'dense'))(w))
+    return _DENSE_GRAD[seed]
+
+
 @pytest.mark.parametrize("engine", ["gates", "pallas", "embed", "fused"])
 @pytest.mark.parametrize("seed", range(N_CASES))
 def test_random_spec_forward_matches_dense(seed, engine):
     spec, w, x, diag = _random_case(seed)
     out_e = hea_expectation(spec, w, x, diag=diag, engine=engine)
-    out_d = hea_expectation(spec, w, x, diag=diag, engine='dense')
-    np.testing.assert_allclose(np.asarray(out_e), np.asarray(out_d),
+    np.testing.assert_allclose(np.asarray(out_e), _dense_fwd(seed),
                                atol=1e-4)
 
 
@@ -56,14 +85,6 @@ def test_random_spec_forward_matches_dense(seed, engine):
 @pytest.mark.parametrize("seed", range(0, N_CASES, 2))
 def test_random_spec_grad_matches_dense(seed, engine):
     spec, w, x, diag = _random_case(seed)
-
-    def loss(engine):
-        def f(w):
-            return jnp.sum(hea_expectation(spec, w, x, diag=diag,
-                                           engine=engine) ** 2)
-        return f
-
-    g_e = jax.grad(loss(engine))(w)
-    g_d = jax.grad(loss('dense'))(w)
-    np.testing.assert_allclose(np.asarray(g_e), np.asarray(g_d),
+    g_e = jax.grad(_loss(spec, x, diag, engine))(w)
+    np.testing.assert_allclose(np.asarray(g_e), _dense_grad(seed),
                                atol=2e-4)

@@ -55,16 +55,22 @@ def test_group_unitaries_are_unitary():
 ])
 def test_fused_matches_gates_fwd_and_grad(spec):
     w, x = _rand(spec)
-    g1 = hea_forward_pair(spec, w, x, engine='gates')
-    g2 = hea_forward_pair(spec, w, x, engine='fused')
+
+    # ONE compiled program per engine (fwd + grad via has_aux): the gates
+    # oracle's per-gate graph is huge and this file's cost is pure
+    # single-core XLA compile time
+    def fwd_and_grad(eng):
+        def loss(w_):
+            sr, si = hea_forward_pair(spec, w_, x, engine=eng)
+            return jnp.sum(sr ** 2) - jnp.sum(si), (sr, si)
+        (_, pair), g = jax.value_and_grad(loss, has_aux=True)(w)
+        return pair, g
+
+    (g1, grad1) = fwd_and_grad('gates')
+    (g2, grad2) = fwd_and_grad('fused')
     np.testing.assert_allclose(g2[0], g1[0], atol=2e-6)
     np.testing.assert_allclose(g2[1], g1[1], atol=2e-6)
-
-    def loss(w, eng):
-        sr, si = hea_forward_pair(spec, w, x, engine=eng)
-        return jnp.sum(sr ** 2) - jnp.sum(si)
-    d = jnp.abs(jax.grad(loss)(w, 'gates') - jax.grad(loss)(w, 'fused'))
-    assert float(d.max()) < 1e-5
+    assert float(jnp.abs(grad1 - grad2).max()) < 1e-5
 
 
 def test_fused_remat_matches():

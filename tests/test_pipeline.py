@@ -44,20 +44,39 @@ def test_pipeline_matches_dense(n_dev, n_mb):
     np.testing.assert_allclose(got, want, atol=5e-6)
 
 
-def test_pipeline_gradients_match_dense():
+def _fwd_and_grad(f, w, x, diag):
+    """One compiled program for predictions AND gradient (single-core CPU
+    compile dominates this file's runtime; never compile fwd twice)."""
+
+    def loss(w_):
+        out = f(w_, x, diag)
+        return jnp.sum(out ** 2), out
+
+    (_, preds), g = jax.value_and_grad(loss, has_aux=True)(w)
+    return np.asarray(preds), np.asarray(g)
+
+
+@pytest.fixture(scope='module')
+def shared_loc():
+    """The standardized 4-stage case — spec (4,2,4,2), batch 4, M=2 —
+    compiled ONCE (stage-local production mode) and reused by the
+    gradient-equivalence and stage-local-vs-full tests."""
     spec, w, x, diag = _case(3, (4, 2, 4, 2), batch=4, seed=1)
-    f = make_pipeline_hea(spec, _mesh(4), n_microbatches=2)
+    f_loc = make_pipeline_hea(spec, _mesh(4), n_microbatches=2)
+    preds, g = _fwd_and_grad(f_loc, w, x, diag)
+    return spec, w, x, diag, preds, g
 
-    def loss_pipe(w):
-        return jnp.sum(f(w, x, diag) ** 2)
 
-    def loss_dense(w):
-        return jnp.sum(hea_expectation(spec, w, x, diag=diag,
-                                       engine='dense') ** 2)
+def test_pipeline_gradients_match_dense(shared_loc):
+    spec, w, x, diag, preds, g_pipe = shared_loc
+    def loss_dense(w_):
+        out = hea_expectation(spec, w_, x, diag=diag, engine='dense')
+        return jnp.sum(out ** 2), out
 
-    g_pipe = np.asarray(jax.grad(loss_pipe)(w))
-    g_dense = np.asarray(jax.grad(loss_dense)(w))
-    np.testing.assert_allclose(g_pipe, g_dense, atol=5e-5, rtol=1e-4)
+    (_, want), g_dense = jax.value_and_grad(loss_dense, has_aux=True)(w)
+    np.testing.assert_allclose(preds, np.asarray(want), atol=5e-6)
+    np.testing.assert_allclose(g_pipe, np.asarray(g_dense),
+                               atol=5e-5, rtol=1e-4)
 
 
 def test_pipeline_under_jit_with_uneven_schedule():
@@ -80,20 +99,15 @@ def test_pipeline_rejects_indivisible_blocks():
 def test_pipeline_composed_with_data_parallel():
     """dp x pp on a (2, 4) mesh: batch sharded over 'data', each shard
     running a 4-stage pipeline over 'pipe'; must equal the dense engine
-    on the full batch."""
+    on the full batch — forward and gradient."""
     spec, w, x, diag = _case(3, (4, 1, 4, 1), batch=16, seed=3)
     mesh = Mesh(mesh_utils.create_device_mesh((2, 4)), ('data', 'pipe'))
     f = make_pipeline_hea(spec, mesh, n_microbatches=2, data_axis='data')
-    got = np.asarray(f(w, x, diag))
-    want = np.asarray(hea_expectation(spec, w, x, diag=diag,
-                                      engine='dense'))
+    got, g_pipe = _fwd_and_grad(f, w, x, diag)
+    want, g_dense = _fwd_and_grad(
+        lambda w_, x_, d_: hea_expectation(spec, w_, x_, diag=d_,
+                                           engine='dense'), w, x, diag)
     np.testing.assert_allclose(got, want, atol=5e-6)
-
-    g_pipe = np.asarray(jax.grad(
-        lambda w_: jnp.sum(f(w_, x, diag) ** 2))(w))
-    g_dense = np.asarray(jax.grad(
-        lambda w_: jnp.sum(hea_expectation(spec, w_, x, diag=diag,
-                                           engine='dense') ** 2))(w))
     np.testing.assert_allclose(g_pipe, g_dense, atol=5e-5, rtol=1e-4)
 
 
@@ -115,23 +129,15 @@ def test_pipeline_heaqnn_spec():
     np.testing.assert_allclose(got, want, atol=5e-6)
 
 
-def test_stage_local_equals_full_compile():
+def test_stage_local_equals_full_compile(shared_loc):
     """The production stage-local compile path and the
-    compile-everything fallback are the same function."""
-    spec, w, x, diag = _case(3, (4, 2, 4, 2), batch=8, seed=6)
-    mesh = _mesh(4)
-    f_loc = make_pipeline_hea(spec, mesh, n_microbatches=2,
-                              stage_local_compile=True)
-    f_full = make_pipeline_hea(spec, mesh, n_microbatches=2,
+    compile-everything fallback are the same function (fwd + grad);
+    the stage-local side comes precompiled from the shared fixture."""
+    spec, w, x, diag, preds_loc, g_loc = shared_loc
+    f_full = make_pipeline_hea(spec, _mesh(4), n_microbatches=2,
                                stage_local_compile=False)
-    a = np.asarray(f_loc(w, x, diag))
-    b = np.asarray(f_full(w, x, diag))
-    np.testing.assert_allclose(a, b, atol=2e-6)
-
-    g_loc = np.asarray(jax.grad(
-        lambda w_: jnp.sum(f_loc(w_, x, diag) ** 2))(w))
-    g_full = np.asarray(jax.grad(
-        lambda w_: jnp.sum(f_full(w_, x, diag) ** 2))(w))
+    preds_full, g_full = _fwd_and_grad(f_full, w, x, diag)
+    np.testing.assert_allclose(preds_loc, preds_full, atol=2e-6)
     np.testing.assert_allclose(g_loc, g_full, atol=2e-5, rtol=1e-4)
 
 
