@@ -140,7 +140,11 @@ def _build_model(cfg: dict, branch_in: int, trunk_in: int):
                             if cfg.get('ham_diag') is not None else None),
                   ham_pauli=cfg.get('ham_pauli', 'Z'),
                   shots=(int(cfg['shots'])
-                         if cfg.get('shots') else None))
+                         if cfg.get('shots') else None),
+                  noise_p=(float(cfg['noise_p'])
+                           if cfg.get('noise_p') is not None else None),
+                  noise_traj=int(cfg.get('noise_traj') or 32),
+                  readout_p=float(cfg.get('readout_p') or 0.0))
         if mt == 'QuanONet':
             return QuanONet(branch_input_size=branch_in,
                             trunk_input_size=trunk_in, **kw)
@@ -196,8 +200,10 @@ def predict(model, params, branch_input, trunk_input=None, cfg=None,
     batches would turn a 1-minute job into ~15 minutes.
 
     When the model was loaded with ``shots`` set (finite-shot QPU
-    emulation, ops/sampling.py), predictions are sampled; ``shot_seed``
-    makes them replayable (each batch gets an independent fold of it)."""
+    emulation, ops/sampling.py) or ``noise_p``/``readout_p`` set
+    (Pauli-twirled noise trajectories, ops/noise.py), predictions are
+    sampled; ``shot_seed`` makes them replayable (each batch gets an
+    independent fold of it)."""
     import jax
     import jax.numpy as jnp
 
@@ -208,12 +214,15 @@ def predict(model, params, branch_input, trunk_input=None, cfg=None,
     has_trunk_tuple = trunk_input is not None and \
         model_type in ('QuanONet', 'DeepONet')
     has_trunk_concat = trunk_input is not None and model_type in ('FNN',)
-    sampled = bool(getattr(model, 'shots', None))
+    noisy = getattr(model, 'noise_p', None) is not None or \
+        bool(getattr(model, 'readout_p', 0.0))
+    sampled = bool(getattr(model, 'shots', None)) or noisy
+    rng_name = 'noise' if noisy else 'shots'
 
     n = branch_input.shape[0]
     if sampled:
         fwd = jax.jit(lambda key, *inp: model.apply(
-            params, *inp, rngs={'shots': key}))
+            params, *inp, rngs={rng_name: key}))
         base_key = jax.random.PRNGKey(shot_seed)
     else:
         fwd = jax.jit(lambda *inp: model.apply(params, *inp))
@@ -278,6 +287,16 @@ def _parser():
                         'instead of the exact expectation')
     p.add_argument('--shot_seed', type=int, default=0,
                    help='PRNG seed for --shots sampling (replayable)')
+    p.add_argument('--noise_p', type=float, default=None,
+                   help='Per-qubit per-block depolarizing error prob '
+                        '(Pauli-twirled trajectory simulation, '
+                        'ops/noise.py); combine with --shots for the full '
+                        'QPU error budget')
+    p.add_argument('--noise_traj', type=int, default=None,
+                   help='Noise trajectories to average (default 32)')
+    p.add_argument('--readout_p', type=float, default=None,
+                   help='Per-qubit measurement bit-flip prob, applied '
+                        'exactly (no sampling)')
     return p
 
 
@@ -345,7 +364,8 @@ def main(argv=None):
                      net_size=args.net_size, scale_coeff=args.scale_coeff,
                      ham_bound=args.ham_bound,
                      quantum_backend=args.quantum_backend,
-                     shots=args.shots)
+                     shots=args.shots, noise_p=args.noise_p,
+                     noise_traj=args.noise_traj, readout_p=args.readout_p)
     model, params, cfg = load_model(args.ckpt, branch_in=branch_in,
                                     trunk_in=trunk_in, **overrides)
     print(f"Model : {cfg['model_type']}  backend={cfg['_backend']}")
@@ -354,6 +374,11 @@ def main(argv=None):
     if cfg.get('shots'):
         print(f"Shots : {cfg['shots']} per prediction "
               f"(sampled measurement, seed={args.shot_seed})")
+    if cfg.get('noise_p') is not None or cfg.get('readout_p'):
+        print(f"Noise : depolarizing p={cfg.get('noise_p') or 0} over "
+              f"{cfg.get('noise_traj') or 32} trajectories, "
+              f"readout_p={cfg.get('readout_p') or 0} "
+              f"(seed={args.shot_seed})")
 
     preds = predict(model, params, branch, trunk, cfg=cfg,
                     batch_size=args.batch_size, shot_seed=args.shot_seed)

@@ -35,18 +35,33 @@ from quanonet_tpu.ops.hea import (
 
 
 def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
-             shots=None, shot_key=None):
-    if shots:
+             shots=None, shot_key=None,
+             noise_p=None, noise_traj=32, readout_p=0.0, noise_key=None):
+    noisy = noise_p is not None or readout_p
+    if noisy:
+        from quanonet_tpu.ops.noise import noisy_expectation
+    elif shots:
         from quanonet_tpu.ops.sampling import shot_expectation
     if ham_pauli == 'Z' or ham_diag is not None:
         diag = jnp.asarray(
             resolve_ham_diag(spec.n_qubits, list(ham_bound),
                              list(ham_diag) if ham_diag is not None else None))
+        if noisy:
+            return noisy_expectation(noise_key, spec, ansatz, x,
+                                     noise_p if noise_p is not None else 0.0,
+                                     noise_traj, diag=diag, shots=shots,
+                                     readout_p=readout_p)
         if shots:
             return shot_expectation(shot_key, spec, ansatz, x, shots,
                                     diag=diag, engine=engine)
         return hea_expectation(spec, ansatz, x, diag=diag, engine=engine)
     offset, coeff = simple_ham_params(spec.n_qubits, ham_bound[0], ham_bound[1])
+    if noisy:
+        return noisy_expectation(noise_key, spec, ansatz, x,
+                                 noise_p if noise_p is not None else 0.0,
+                                 noise_traj, pauli=ham_pauli, offset=offset,
+                                 coeff=coeff, shots=shots,
+                                 readout_p=readout_p)
     if shots:
         return shot_expectation(shot_key, spec, ansatz, x, shots,
                                 pauli=ham_pauli, offset=offset, coeff=coeff,
@@ -70,6 +85,12 @@ class QuanONet(nn.Module):
     # Finite-shot measurement (QPU emulation, ops/sampling.py).  When set,
     # apply() needs an rng: model.apply(params, b, t, rngs={'shots': key}).
     shots: Optional[int] = None
+    # Pauli-twirled noise trajectories (QPU noise emulation, ops/noise.py).
+    # When noise_p/readout_p set, apply() needs rngs={'noise': key};
+    # shots then rides the noise path (one noise realization per shot).
+    noise_p: Optional[float] = None
+    noise_traj: int = 32
+    readout_p: float = 0.0
 
     @nn.compact
     def __call__(self, branch_input, trunk_input):
@@ -98,10 +119,15 @@ class QuanONet(nn.Module):
             lambda key, _: init_ansatz_weights(key, spec),
             spec.weight_shape())
         bias = self.param('bias', nn.initializers.zeros, ())
-        shot_key = self.make_rng('shots') if self.shots else None
+        noisy = self.noise_p is not None or self.readout_p
+        shot_key = self.make_rng('shots') if (self.shots and not noisy) \
+            else None
+        noise_key = self.make_rng('noise') if noisy else None
         out = _measure(spec, ansatz, x, self.ham_bound, self.ham_diag,
                        self.ham_pauli, self.engine,
-                       shots=self.shots, shot_key=shot_key)
+                       shots=self.shots, shot_key=shot_key,
+                       noise_p=self.noise_p, noise_traj=self.noise_traj,
+                       readout_p=self.readout_p, noise_key=noise_key)
         return out + bias
 
 
@@ -118,6 +144,9 @@ class HEAQNN(nn.Module):
     ham_pauli: str = 'Z'
     engine: str = 'auto'
     shots: Optional[int] = None  # finite-shot measurement (see QuanONet)
+    noise_p: Optional[float] = None  # noise trajectories (see QuanONet)
+    noise_traj: int = 32
+    readout_p: float = 0.0
 
     @nn.compact
     def __call__(self, x):
@@ -134,7 +163,12 @@ class HEAQNN(nn.Module):
             'ansatz',
             lambda key, _: init_ansatz_weights(key, spec),
             spec.weight_shape())
-        shot_key = self.make_rng('shots') if self.shots else None
+        noisy = self.noise_p is not None or self.readout_p
+        shot_key = self.make_rng('shots') if (self.shots and not noisy) \
+            else None
+        noise_key = self.make_rng('noise') if noisy else None
         return _measure(spec, ansatz, enc, self.ham_bound, self.ham_diag,
                         self.ham_pauli, self.engine,
-                        shots=self.shots, shot_key=shot_key)
+                        shots=self.shots, shot_key=shot_key,
+                        noise_p=self.noise_p, noise_traj=self.noise_traj,
+                        readout_p=self.readout_p, noise_key=noise_key)

@@ -1,0 +1,201 @@
+"""
+Pauli-twirled noise-trajectory simulation — predict a QPU's noise floor.
+
+The reference's hardware path profiles per-qubit calibration error rates
+(reference ibm_inference.py:68-118: 2q gate_error + readout_error scoring)
+but its simulator is strictly IDEAL (StatevectorEstimator,
+ibm_inference.py:205-213): the only way to learn how calibration-grade
+noise degrades a trained QuanONet is to burn QPU time.  This module closes
+that gap, complementing finite-shot sampling (ops/sampling.py) so the full
+hardware error budget — decoherence/gate noise AND shot noise AND readout
+error — can be predicted on the simulator before submission:
+
+* gate/decoherence noise — a depolarizing channel after every HEA block,
+  simulated by PAULI-TWIRLED TRAJECTORIES: each trajectory draws, per
+  (block, qubit), "error or not" (prob p_q) and a uniform Pauli ∈ {X,Y,Z},
+  then runs a PURE-STATE forward with those Paulis inserted.  Averaging
+  expectations over trajectories converges to the exact channel value
+  (the standard quantum-trajectory / Monte-Carlo unraveling of a Pauli
+  channel) without ever forming the 4^n density matrix.
+* readout error — a classical per-qubit bit-flip channel on the measured
+  distribution, applied EXACTLY (kron of 2x2 binary-symmetric channels as
+  n in-place butterflies on the probability vector), no sampling needed.
+* finite shots — optional; each trajectory's expectation is estimated
+  from ``shots // n_traj`` multinomial draws (ops/sampling.py), which is
+  precisely what the hardware does: every shot rides one noise
+  realization.
+
+TPU-native mechanics: every sampled Pauli is applied as X^a·Z^b (Y = i·XZ;
+the global phase cancels in expectations), i.e. one static-shape sign
+multiply (Z, via z_signs) and one static-shape axis reverse (X, bit-flip
+butterfly) gated by ``jnp.where`` — no data-dependent control flow, so the
+whole trajectory ensemble is one ``vmap`` over PRNG keys inside a single
+jitted program.  The ansatz blocks reuse the engine's compiled block
+unitaries (ops/hea.compile_block_unitaries), shared across trajectories;
+the forward runs in the PHYSICAL frame (explicit RX butterflies rather
+than the dense path's Hadamard-folded frame) so noise insertion sites are
+literal circuit locations.  Split-real float32 throughout (no complex
+dtypes lower on this TPU backend).  Inference-only, like sampling.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from quanonet_tpu.ops.gates import z_signs
+from quanonet_tpu.ops.hea import (HEASpec, _init_state, _rx_single,
+                                  compile_block_unitaries)
+from quanonet_tpu.ops.sampling import (_pauli_sum_diag, probs_pair,
+                                       rotate_to_pauli_basis,
+                                       sample_counts)
+
+
+def _flip_bit(a, q, n_qubits):
+    """Bit-flip (Pauli-X) permutation on qubit q: static axis reverse."""
+    batch = a.shape[0]
+    lo = 1 << q
+    hi = 1 << (n_qubits - 1 - q)
+    return a.reshape(batch, hi, 2, lo)[:, :, ::-1, :].reshape(batch, -1)
+
+
+def apply_pauli_xz(sr, si, q, a, b, n_qubits):
+    """Apply X^a · Z^b on qubit q (Z first, then X — so (a=1,b=1) realizes
+    Y up to the global phase i, irrelevant for expectations).
+
+    q is static; a/b are traced booleans (scalars or (batch,)-shaped), so
+    this lowers to two selects + a sign multiply — jit/vmap/scan-safe.
+    """
+    zq = jnp.asarray(z_signs(n_qubits)[:, q])            # (D,) ±1
+    sgn = jnp.where(b, zq, jnp.float32(1.0))
+    sr, si = sr * sgn, si * sgn
+    fr, fi = _flip_bit(sr, q, n_qubits), _flip_bit(si, q, n_qubits)
+    return jnp.where(a, fr, sr), jnp.where(a, fi, si)
+
+
+def sample_pauli_masks(key, p, n_blocks, n_qubits):
+    """Draw one trajectory's error pattern: (a, b) bool (n_blocks, n_qubits).
+
+    Per (block, qubit): error occurs with prob p_q, then a uniform Pauli
+    {X, Y, Z} — the depolarizing channel ρ → (1−p)ρ + (p/3)Σ_P PρP.
+    a = bit-flip component (X or Y), b = phase-flip component (Y or Z).
+    """
+    kb, kc = jax.random.split(key)
+    p = jnp.broadcast_to(jnp.asarray(p, jnp.float32), (n_qubits,))
+    occur = jax.random.bernoulli(kb, p, (n_blocks, n_qubits))
+    choice = jax.random.randint(kc, (n_blocks, n_qubits), 0, 3)  # X/Y/Z
+    return occur & (choice != 2), occur & (choice != 0)
+
+
+def _traj_forward(spec: HEASpec, utr, uti, xb, a, b):
+    """One noise trajectory, physical frame.  utr/uti: pre-transposed block
+    unitaries (nb, D, D); xb: (nb, batch, n) encode angles; a/b: (nb, n)
+    sampled Pauli components.  Returns the final split-real state."""
+    n = spec.n_qubits
+    batch = xb.shape[1]
+    state = _init_state(batch, spec.dim)
+
+    def step(state, inp):
+        sr, si = state
+        tr, ti, x_b, a_b, b_b = inp
+        for q in range(n):                         # encode: ⊗RX(x_b)
+            sr, si = _rx_single(sr, si, q, x_b[:, q], n)
+        t1 = sr @ tr                               # ansatz: s ← U_b s
+        t2 = si @ ti                               # (Karatsuba, 3 matmuls)
+        t3 = (sr + si) @ (tr + ti)
+        sr, si = t1 - t2, t3 - t1 - t2
+        for q in range(n):                         # sampled Pauli noise
+            sr, si = apply_pauli_xz(sr, si, q, a_b[q], b_b[q], n)
+        return (sr, si), None
+
+    (sr, si), _ = jax.lax.scan(step, state, (utr, uti, xb, a, b))
+    return sr, si
+
+
+def apply_readout_error(probs, ro):
+    """Exact per-qubit classical bit-flip (readout) channel on a measured
+    distribution: probs (batch, 2^n), ro scalar or (n,) flip probabilities.
+    Kron of 2x2 binary-symmetric channels = n in-place butterflies."""
+    batch, dim = probs.shape
+    n = dim.bit_length() - 1
+    ro = jnp.broadcast_to(jnp.asarray(ro, probs.dtype), (n,))
+    for q in range(n):
+        lo = 1 << q
+        hi = 1 << (n - 1 - q)
+        p = probs.reshape(batch, hi, 2, lo)
+        p0, p1 = p[:, :, 0, :], p[:, :, 1, :]
+        probs = jnp.stack([(1 - ro[q]) * p0 + ro[q] * p1,
+                           ro[q] * p0 + (1 - ro[q]) * p1],
+                          axis=2).reshape(batch, -1)
+    return probs
+
+
+@partial(jax.jit, static_argnames=('spec', 'n_traj', 'pauli', 'shots'))
+def noisy_expectation(key, spec: HEASpec, weights, x, noise_p, n_traj,
+                      diag=None, pauli='Z', offset=0.0, coeff=0.0,
+                      shots=None, readout_p=0.0):
+    """Trajectory-averaged ⟨H⟩ under per-block depolarizing noise.
+
+    The noisy analog of ops.hea.hea_expectation: identical observable
+    arguments plus (key, noise_p, n_traj, shots, readout_p).
+
+    key       PRNG key — trajectories (and shots) replay bit-identically.
+    noise_p   scalar or (n_qubits,) per-qubit error prob per block.
+    n_traj    trajectories to average (estimator std ∝ 1/√n_traj).
+    shots     optional TOTAL shot budget; each trajectory is estimated
+              from shots // n_traj multinomial draws (hardware semantics:
+              one noise realization per shot).  None = exact per-trajectory
+              expectations.
+    readout_p scalar or (n,) measurement bit-flip prob, applied exactly.
+
+    Returns (batch, 1) float32.  Unbiased in the channel: the expectation
+    over trajectories equals the depolarizing-channel value.
+    """
+    if not spec.uniform_encode:
+        raise ValueError("noisy_expectation requires a uniform-encode spec "
+                         "(every block encodes n_qubits angles)")
+    n, nb = spec.n_qubits, spec.n_blocks
+    ur, ui = compile_block_unitaries(spec, weights)       # (nb, D, D)
+    utr, uti = ur.transpose(0, 2, 1), ui.transpose(0, 2, 1)
+    xb = x.reshape(x.shape[0], nb, n).transpose(1, 0, 2)  # (nb, batch, n)
+
+    if pauli == 'Z':
+        if diag is None:
+            raise ValueError("Z-basis noise simulation requires a diagonal")
+        d = jnp.asarray(diag, jnp.float32)
+    else:
+        d = jnp.asarray(_pauli_sum_diag(n, offset, coeff))
+    per_traj_shots = max(1, shots // n_traj) if shots else None
+
+    def one(k):
+        kn, ks = jax.random.split(k)
+        a, b = sample_pauli_masks(kn, noise_p, nb, n)
+        sr, si = _traj_forward(spec, utr, uti, xb, a, b)
+        if pauli != 'Z':
+            sr, si = rotate_to_pauli_basis(sr, si, pauli, n)
+        probs = apply_readout_error(probs_pair(sr, si), readout_p)
+        if per_traj_shots:
+            probs = sample_counts(ks, probs, per_traj_shots) / per_traj_shots
+        return jnp.einsum('bd,d->b', probs, d,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    vals = jax.vmap(one)(jax.random.split(key, n_traj))   # (T, batch)
+    return jnp.mean(vals, axis=0)[:, None]
+
+
+def noise_p_from_calibration(spec: HEASpec, gate_error_2q,
+                             gate_error_1q=0.0):
+    """Per-qubit per-block depolarizing prob from calibration gate errors
+    (the numbers ibm_export.profile_hardware reads from backend
+    properties).  Each HEA sublayer touches every qubit with three 1q
+    rotations and two ring CNOTs (as control of one, target of another),
+    and a block averages total_sublayers/n_blocks sublayers, so
+
+        p ≈ (sublayers per block) · (2·err_2q + 3·err_1q)
+
+    — a first-order union bound, clipped to [0, 1).  Returns a float.
+    """
+    sub_per_block = spec.total_sublayers / max(1, spec.n_blocks)
+    p = sub_per_block * (2.0 * float(gate_error_2q)
+                         + 3.0 * float(gate_error_1q))
+    return float(np.clip(p, 0.0, 0.999))
