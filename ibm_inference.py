@@ -15,15 +15,21 @@ import json
 import os
 import sys
 
+import jax
 import numpy as np
+
+# deployment-artifact tool: the gate-level self-verification contract is
+# 1e-4, far below the TPU backend's default-bf16 matmul noise (~1e-2) —
+# force f32 contractions like compare_engines.py does
+jax.config.update('jax_default_matmul_precision', 'float32')
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from quanonet_tpu.checkpoint import load_raw
 from quanonet_tpu.ibm_export import (
-    build_gate_list, fetch_ibm_job, ideal_predictions, qiskit_available,
-    shot_predictions, simulate_gate_list, submit_to_ibm, to_qasm2,
-    unpack_quanonet_weights,
+    build_gate_list, fetch_ibm_job, ideal_predictions, noisy_predictions,
+    qiskit_available, shot_predictions, simulate_gate_list, submit_to_ibm,
+    to_qasm2, unpack_quanonet_weights,
 )
 from quanonet_tpu.infer import _parse_path, evaluate
 from quanonet_tpu.ops.hamiltonian import simple_ham_params
@@ -56,6 +62,17 @@ def main():
     p.add_argument('--export_points', type=int, default=3,
                    help="Number of sample points to export as QASM")
     p.add_argument('--shots', type=int, default=10_000)
+    p.add_argument('--gate_error_2q', type=float, default=None,
+                   help="Calibration 2q gate error (e.g. from --profile / "
+                        "backend properties): predicts the job's "
+                        "decoherence floor via a Pauli-twirled "
+                        "depolarizing channel (ops/noise.py) and its "
+                        "ZNE-mitigated floor (ops/mitigation.py)")
+    p.add_argument('--gate_error_1q', type=float, default=0.0)
+    p.add_argument('--readout_error', type=float, default=0.0,
+                   help="Per-qubit readout bit-flip prob for the noise "
+                        "floor prediction")
+    p.add_argument('--noise_traj', type=int, default=128)
     args = p.parse_args()
 
     if not os.path.exists(args.weight_path):
@@ -109,6 +126,39 @@ def main():
           f"shot-noise std (mean over points): "
           f"{float(np.mean(shot_std)):.2e}")
 
+    # decoherence-floor prediction from calibration numbers
+    # (ops/noise.py + ops/mitigation.py): what the QPU job will score,
+    # raw and ZNE-mitigated, before burning hardware time
+    noise_floor = {}
+    if args.gate_error_2q is not None:
+        from quanonet_tpu.ops.hea import quanonet_spec
+        from quanonet_tpu.ops.noise import noise_p_from_calibration
+        spec = quanonet_spec(num_qubits, tuple(net_size))
+        noise_p = noise_p_from_calibration(spec, args.gate_error_2q,
+                                           args.gate_error_1q)
+        noisy_pred = noisy_predictions(
+            raw, net_size, num_qubits, branch_vec, trunk_vec, noise_p,
+            ham_bound=args.ham_bound, readout_p=args.readout_error,
+            n_traj=args.noise_traj)
+        mn = evaluate(noisy_pred, true_solution)
+        zne_pred = noisy_predictions(
+            raw, net_size, num_qubits, branch_vec, trunk_vec, noise_p,
+            ham_bound=args.ham_bound, readout_p=args.readout_error,
+            n_traj=args.noise_traj, zne_scales=(1.0, 2.0))
+        mz = evaluate(zne_pred, true_solution)
+        print(f"[Noise floor @2q_err={args.gate_error_2q:g} -> "
+              f"p={noise_p:.4g}/block] Relative L2: {mn['rel_l2']:.2%} | "
+              f"ZNE(1,2)-mitigated: {mz['rel_l2']:.2%}")
+        noise_floor = {
+            'calibration_gate_error_2q': args.gate_error_2q,
+            'calibration_gate_error_1q': args.gate_error_1q,
+            'readout_error': args.readout_error,
+            'depolarizing_p_per_block': noise_p,
+            'noise_traj': args.noise_traj,
+            'predicted_noisy_rel_l2': float(mn['rel_l2']),
+            'predicted_zne_rel_l2': float(mz['rel_l2']),
+        }
+
     # gate-level export + self-verification
     os.makedirs(args.export_dir, exist_ok=True)
     export_idx = np.linspace(0, num_points - 1, args.export_points,
@@ -141,6 +191,8 @@ def main():
         # predicted shot-noise floor of the planned job (ops/sampling.py)
         'expected_shot_noise_std_mean': float(np.mean(shot_std)),
         'sampled_rel_l2_at_shots': float(ms['rel_l2']),
+        # predicted decoherence floor (--gate_error_2q; ops/noise.py)
+        **noise_floor,
     }
     with open(os.path.join(args.export_dir, 'manifest.json'), 'w') as f:
         json.dump(manifest, f, indent=2)

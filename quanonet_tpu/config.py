@@ -110,6 +110,17 @@ def get_base_parser():
     parser.add_argument('--profile', type=str, default=None,
                         help='Write a jax.profiler trace of one training '
                              'segment to this directory')
+    parser.add_argument('--noise_p', type=float, default=None,
+                        help='Noise-aware training: per-qubit per-block '
+                             'depolarizing error prob simulated by '
+                             'Pauli-twirled trajectories (ops/noise.py); '
+                             'the run ID gains a _Noise suffix')
+    parser.add_argument('--noise_traj', type=int, default=None,
+                        help='Noise trajectories per forward (default 8 '
+                             'in training, 32 in inference)')
+    parser.add_argument('--readout_p', type=float, default=None,
+                        help='Per-qubit measurement bit-flip prob, applied '
+                             'exactly inside the noisy forward')
     return parser
 
 

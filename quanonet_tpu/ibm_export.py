@@ -229,6 +229,42 @@ def shot_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
     return sampled.astype(np.float64), std.astype(np.float64)
 
 
+def noisy_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
+                      noise_p, ham_bound=(-5.0, 5.0), readout_p=0.0,
+                      n_traj=64, zne_scales=None, seed=0):
+    """Predictions under the calibrated depolarizing + readout channel
+    (ops/noise.py) — the decoherence floor of a planned QPU job, optionally
+    zero-noise-extrapolated (ops/mitigation.py, ``zne_scales=(1,2,3)``).
+    Derive ``noise_p`` from backend calibration via
+    ops.noise.noise_p_from_calibration(spec, gate_error_2q).
+
+    Returns (n_points,) float64.  Complements shot_predictions: together
+    they predict the full hardware error budget before submission.
+    """
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.checkpoint import quantum_params_from_raw
+    from quanonet_tpu.models import QuanONet
+
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        quantum_params_from_raw(raw, 'QuanONet', tuple(net_size),
+                                num_qubits, True))
+    model = QuanONet(num_qubits=num_qubits,
+                     branch_input_size=len(branch_vec),
+                     trunk_input_size=1, net_size=tuple(net_size),
+                     if_trainable_freq=True, ham_bound=tuple(ham_bound),
+                     noise_p=float(noise_p), noise_traj=int(n_traj),
+                     readout_p=float(readout_p),
+                     zne_scales=(tuple(zne_scales) if zne_scales
+                                 else None))
+    n_pts = len(trunk_points)
+    b = jnp.asarray(np.tile(branch_vec, (n_pts, 1)).astype(np.float32))
+    t = jnp.asarray(np.asarray(trunk_points, np.float32).reshape(-1, 1))
+    out = model.apply(params, b, t, rngs={'noise': jax.random.PRNGKey(seed)})
+    return np.asarray(out)[:, 0].astype(np.float64)
+
+
 # ── qiskit-gated extras ──────────────────────────────────────────────────────
 
 def qiskit_available() -> bool:

@@ -36,6 +36,9 @@ _DATA_RE = re.compile(r'_(\d+)x(\d+)_Seed')
 _PAULI_RE = re.compile(r'_Pauli([XYZ])')
 _DIAG_RE = re.compile(r'_Diag([^_]+)')
 _HAM_RE = re.compile(r'_Ham([^_]+)')
+# noise-aware-training suffix (logger.py: _Noise{p}[R{readout_p}]) — the
+# channel is part of the training objective, so evaluation reproduces it
+_NOISE_RE = re.compile(r'_Noise([0-9.eE+-]+?)(?:R([0-9.eE+-]+))?(?=_|$)')
 _NUM_RE = re.compile(r'-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?')
 
 
@@ -115,6 +118,15 @@ def _parse_path(ckpt_path: str) -> dict:
             bound = _parse_joined_floats(m.group(1))
             if bound and len(bound) == 2:
                 cfg['ham_bound'] = bound
+    m = _NOISE_RE.search(name)
+    if m:
+        try:
+            p = float(m.group(1))
+            cfg['noise_p'] = p if p > 0 else None
+            if m.group(2):
+                cfg['readout_p'] = float(m.group(2))
+        except ValueError:
+            pass
     return cfg
 
 
@@ -130,6 +142,12 @@ def _build_model(cfg: dict, branch_in: int, trunk_in: int):
     )
     mt = cfg['model_type']
     net_size = tuple(cfg['net_size'])
+    # --noise_p 0 with no readout error is the ideal model: take the exact
+    # path, not a 0-probability trajectory ensemble (lets a user force
+    # ideal evaluation of a _Noise-suffixed checkpoint)
+    if cfg.get('noise_p') is not None and float(cfg['noise_p']) == 0.0 \
+            and not cfg.get('readout_p'):
+        cfg = {**cfg, 'noise_p': None}
     if mt in ('QuanONet', 'HEAQNN'):
         kw = dict(num_qubits=int(cfg['num_qubits']),
                   net_size=net_size,
@@ -243,6 +261,26 @@ def predict(model, params, branch_input, trunk_input=None, cfg=None,
     return np.concatenate(preds, axis=0)
 
 
+def zne_predict(model, params, branch_input, trunk_input=None, cfg=None,
+                scales=(1.0, 2.0, 3.0), batch_size=None, shot_seed=0):
+    """Zero-noise-extrapolated predictions (ops/mitigation.py): every
+    trajectory evaluates all amplified noise levels ``c·noise_p`` on one
+    shared error draw (common random numbers) and the predictions are
+    Richardson-extrapolated back to c = 0 inside one compiled program.
+
+    The model must have ``noise_p`` set; same-arguments calls replay
+    bit-identically."""
+    from quanonet_tpu.ops.mitigation import richardson_weights
+    p = getattr(model, 'noise_p', None)
+    if not p:
+        raise ValueError("zne_predict needs a model with noise_p > 0 "
+                         "(nothing to extrapolate)")
+    richardson_weights(scales)           # validate scales up front
+    m = model.clone(zne_scales=tuple(float(c) for c in scales), shots=None)
+    return predict(m, params, branch_input, trunk_input, cfg=cfg,
+                   batch_size=batch_size, shot_seed=shot_seed)
+
+
 def evaluate(y_pred, y_true):
     """Rel-L2 / MSE / MAE (reference infer.py:294-302)."""
     m = compute_metrics(y_true, y_pred)
@@ -297,6 +335,13 @@ def _parser():
     p.add_argument('--readout_p', type=float, default=None,
                    help='Per-qubit measurement bit-flip prob, applied '
                         'exactly (no sampling)')
+    p.add_argument('--zne', type=float, nargs='+', default=None,
+                   metavar='SCALE',
+                   help='Zero-noise extrapolation (ops/mitigation.py): '
+                        'evaluate at these noise scale factors (e.g. '
+                        '--zne 1 2 3) and Richardson-extrapolate the '
+                        'predictions to zero noise; requires --noise_p '
+                        'or a _Noise checkpoint')
     return p
 
 
@@ -380,8 +425,16 @@ def main(argv=None):
               f"readout_p={cfg.get('readout_p') or 0} "
               f"(seed={args.shot_seed})")
 
-    preds = predict(model, params, branch, trunk, cfg=cfg,
-                    batch_size=args.batch_size, shot_seed=args.shot_seed)
+    if args.zne:
+        print(f"ZNE   : Richardson extrapolation over noise scales "
+              f"{args.zne}")
+        preds = zne_predict(model, params, branch, trunk, cfg=cfg,
+                            scales=tuple(args.zne),
+                            batch_size=args.batch_size,
+                            shot_seed=args.shot_seed)
+    else:
+        preds = predict(model, params, branch, trunk, cfg=cfg,
+                        batch_size=args.batch_size, shot_seed=args.shot_seed)
     print(f"Output: {preds.shape}")
 
     if y_true is not None:

@@ -88,6 +88,15 @@ def get_experiment_id(config):
             ham = config.get('ham_bound')
             if ham and isinstance(ham, list) and ham != [-5, 5]:
                 exp_id += "_Ham" + "-".join(map(str, ham))
+        # Noise-aware training (ops/noise.py): the channel is part of the
+        # objective, so it must distinguish the run dir (and round-trip
+        # through infer._parse_path like _Pauli/_Ham/_Diag do)
+        noise = config.get('noise_p')
+        ro = config.get('readout_p')
+        if noise or ro:
+            exp_id += f"_Noise{noise or 0}"
+            if ro:
+                exp_id += f"R{ro}"
 
     # Backend suffix: kept for dirname compat. The JAX engine is the default
     # here, so only the legacy names get suffixes (mirrors utils/logger.py:104-113

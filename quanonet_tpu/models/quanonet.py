@@ -36,9 +36,19 @@ from quanonet_tpu.ops.hea import (
 
 def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
              shots=None, shot_key=None,
-             noise_p=None, noise_traj=32, readout_p=0.0, noise_key=None):
+             noise_p=None, noise_traj=32, readout_p=0.0, noise_key=None,
+             zne_scales=None):
     noisy = noise_p is not None or readout_p
-    if noisy:
+    if zne_scales:
+        # zero-noise extrapolation (ops/mitigation.py): CRN trajectories
+        # evaluate every scale in one program; replaces the plain noisy path
+        if not noise_p:
+            raise ValueError("zne_scales requires noise_p > 0")
+        if shots:
+            raise ValueError("zne_scales and shots are mutually exclusive "
+                             "(extrapolate exact trajectory expectations)")
+        from quanonet_tpu.ops.mitigation import zne_expectation
+    elif noisy:
         from quanonet_tpu.ops.noise import noisy_expectation
     elif shots:
         from quanonet_tpu.ops.sampling import shot_expectation
@@ -46,6 +56,10 @@ def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
         diag = jnp.asarray(
             resolve_ham_diag(spec.n_qubits, list(ham_bound),
                              list(ham_diag) if ham_diag is not None else None))
+        if zne_scales:
+            return zne_expectation(noise_key, spec, ansatz, x, noise_p,
+                                   noise_traj, scales=tuple(zne_scales),
+                                   diag=diag, readout_p=readout_p)
         if noisy:
             return noisy_expectation(noise_key, spec, ansatz, x,
                                      noise_p if noise_p is not None else 0.0,
@@ -56,6 +70,11 @@ def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
                                     diag=diag, engine=engine)
         return hea_expectation(spec, ansatz, x, diag=diag, engine=engine)
     offset, coeff = simple_ham_params(spec.n_qubits, ham_bound[0], ham_bound[1])
+    if zne_scales:
+        return zne_expectation(noise_key, spec, ansatz, x, noise_p,
+                               noise_traj, scales=tuple(zne_scales),
+                               pauli=ham_pauli, offset=offset, coeff=coeff,
+                               readout_p=readout_p)
     if noisy:
         return noisy_expectation(noise_key, spec, ansatz, x,
                                  noise_p if noise_p is not None else 0.0,
@@ -91,6 +110,9 @@ class QuanONet(nn.Module):
     noise_p: Optional[float] = None
     noise_traj: int = 32
     readout_p: float = 0.0
+    # Zero-noise extrapolation (ops/mitigation.py): Richardson scales,
+    # e.g. (1., 2., 3.); needs noise_p. Mutually exclusive with shots.
+    zne_scales: Optional[Tuple[float, ...]] = None
 
     @nn.compact
     def __call__(self, branch_input, trunk_input):
@@ -127,7 +149,8 @@ class QuanONet(nn.Module):
                        self.ham_pauli, self.engine,
                        shots=self.shots, shot_key=shot_key,
                        noise_p=self.noise_p, noise_traj=self.noise_traj,
-                       readout_p=self.readout_p, noise_key=noise_key)
+                       readout_p=self.readout_p, noise_key=noise_key,
+                       zne_scales=self.zne_scales)
         return out + bias
 
 
@@ -147,6 +170,7 @@ class HEAQNN(nn.Module):
     noise_p: Optional[float] = None  # noise trajectories (see QuanONet)
     noise_traj: int = 32
     readout_p: float = 0.0
+    zne_scales: Optional[Tuple[float, ...]] = None  # ZNE (see QuanONet)
 
     @nn.compact
     def __call__(self, x):
@@ -171,4 +195,5 @@ class HEAQNN(nn.Module):
                         self.ham_pauli, self.engine,
                         shots=self.shots, shot_key=shot_key,
                         noise_p=self.noise_p, noise_traj=self.noise_traj,
-                        readout_p=self.readout_p, noise_key=noise_key)
+                        readout_p=self.readout_p, noise_key=noise_key,
+                        zne_scales=self.zne_scales)

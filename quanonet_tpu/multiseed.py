@@ -113,6 +113,12 @@ def train_multi_seed(config):
     seeds = list(config['multi_seed'])
     n_seeds = len(seeds)
     prefix = config.get('prefix') or "outputs"
+    if config.get('noise_p') is not None or config.get('readout_p'):
+        # noise-aware training threads a 'noise' rng per optimizer step;
+        # the vmapped multi-seed epoch doesn't carry per-seed rng streams,
+        # so run the reference's per-process semantics instead
+        print("[multi-seed] noise-aware training: seeds run sequentially")
+        return _train_seeds_sequential(config, seeds)
     if _needs_sequential_seeds(config, n_seeds):
         print(f"[multi-seed] Q{config['num_qubits']} fused engine: "
               f"vmapping {n_seeds} seeds is compiler-hostile; training "

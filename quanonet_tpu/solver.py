@@ -86,6 +86,17 @@ def build_model(config, data):
     ham_diag = tuple(ham_diag) if ham_diag is not None else None
     ham_pauli = config.get('ham_pauli', 'Z')
     engine = config.get('engine', 'auto')
+    # Noise-aware training (ops/noise.py): the forward becomes the
+    # trajectory-averaged noisy expectation; 8 trajectories default in
+    # training (the gradient averages over them AND the batch, so few are
+    # needed) vs 32 at inference
+    noise_kw = {}
+    if config.get('noise_p') is not None or config.get('readout_p'):
+        noise_kw = dict(
+            noise_p=(float(config['noise_p'])
+                     if config.get('noise_p') is not None else None),
+            noise_traj=int(config.get('noise_traj') or 8),
+            readout_p=float(config.get('readout_p') or 0.0))
 
     if model_type == 'QuanONet':
         ns = tuple(net_size or (20, 2, 10, 2))
@@ -95,7 +106,8 @@ def build_model(config, data):
                          branch_input_size=branch_in, trunk_input_size=trunk_in,
                          net_size=ns, scale_coeff=scale,
                          if_trainable_freq=if_tf, ham_bound=ham_bound,
-                         ham_diag=ham_diag, ham_pauli=ham_pauli, engine=engine)
+                         ham_diag=ham_diag, ham_pauli=ham_pauli, engine=engine,
+                         **noise_kw)
         return model, 'tuple'
     if model_type == 'HEAQNN':
         ns = tuple(net_size or (20, 2))
@@ -103,8 +115,11 @@ def build_model(config, data):
         model = HEAQNN(num_qubits=config['num_qubits'], input_size=input_size,
                        net_size=ns, scale_coeff=scale, if_trainable_freq=if_tf,
                        ham_bound=ham_bound, ham_diag=ham_diag,
-                       ham_pauli=ham_pauli, engine=engine)
+                       ham_pauli=ham_pauli, engine=engine, **noise_kw)
         return model, 'single'
+    if noise_kw:
+        raise ValueError(f"--noise_p/--readout_p apply to quantum models "
+                         f"only, not {model_type}")
     if model_type == 'DeepONet':
         branch_in = data['train_branch_input'].shape[1]
         trunk_in = data['train_trunk_input'].shape[1]
@@ -157,37 +172,54 @@ def build_optimizer(config, total_steps):
 
 
 def make_train_epoch(model_apply, optimizer, num_samples, batch_size,
-                     per_sample):
+                     per_sample, noise_rng=False):
     """One training epoch as a pure function:
     ((params, opt_state), key, inputs, outputs) -> ((params, opt_state),
     (avg_loss, sse)).  Static-shape masked ragged batches reproduce the
     reference's per-epoch averaging (solver_ms.py:219-245); also the unit
-    that multi-seed training vmaps over (quanonet_tpu/multiseed.py)."""
+    that multi-seed training vmaps over (quanonet_tpu/multiseed.py).
+
+    noise_rng=True: the model is stochastic (noise-aware training,
+    ops/noise.py) — every optimizer step gets a fresh 'noise' rng derived
+    from the epoch key, so each step resamples its Pauli trajectories
+    (stochastic-gradient semantics over the channel, like dropout).  The
+    default path is byte-identical to before the flag existed: the epoch
+    key is used directly for the shuffle."""
     num_batches = max(1, int(np.ceil(num_samples / batch_size)))
     padded = num_batches * batch_size
 
-    def batch_loss(p, batch_in, batch_out, mask):
-        pred = model_apply(p, *batch_in)
+    def batch_loss(p, batch_in, batch_out, mask, rng):
+        if rng is None:
+            pred = model_apply(p, *batch_in)
+        else:
+            pred = model_apply(p, *batch_in, rngs={'noise': rng})
         m = mask.reshape(mask.shape + (1,) * (pred.ndim - 1))
         sq = (pred - batch_out) ** 2 * m
         return jnp.sum(sq) / jnp.maximum(jnp.sum(mask) * per_sample, 1.0)
 
     def train_epoch(carry, key, inputs, outputs):
         params, opt_state = carry
+        if noise_rng:
+            key, knoise = jax.random.split(key)
+            step_rngs = jax.random.split(knoise, num_batches)
         perm = jax.random.permutation(key, num_samples)
         pad_idx = jnp.concatenate(
             [perm, perm[:padded - num_samples]])  # wrap, masked out below
         mask_flat = (jnp.arange(padded) < num_samples).astype(jnp.float32)
         idx = pad_idx.reshape(num_batches, batch_size)
         masks = mask_flat.reshape(num_batches, batch_size)
+        xs = (idx, masks, step_rngs) if noise_rng else (idx, masks)
 
         def step(carry, b):
             params, opt_state = carry
-            bi, bm = b
+            if noise_rng:
+                bi, bm, rng = b
+            else:
+                (bi, bm), rng = b, None
             batch_in = tuple(a[bi] for a in inputs)
             batch_out = outputs[bi]
             loss, grads = jax.value_and_grad(batch_loss)(
-                params, batch_in, batch_out, bm)
+                params, batch_in, batch_out, bm, rng)
             if hasattr(optimizer, 'fused_step'):
                 # one-kernel Adam (ops/pallas_adam.py) — same update
                 # rule, ~20 tiny XLA ops fewer per step
@@ -200,7 +232,7 @@ def make_train_epoch(model_apply, optimizer, num_samples, batch_size,
             return (params, opt_state), (loss, jnp.sum(bm))
 
         (params, opt_state), (losses, counts) = jax.lax.scan(
-            step, (params, opt_state), (idx, masks))
+            step, (params, opt_state), xs)
         avg_loss = jnp.mean(losses)
         # running rel-L2 from accumulated SSE (solver_ms.py:240-245)
         sse = jnp.sum(losses * counts * per_sample)
@@ -282,12 +314,28 @@ class Solver:
         self.train_output = d['train_output'].astype(np.float32)
         self.test_output = d['test_output'].astype(np.float32)
 
+    @property
+    def _noisy(self):
+        """Model forward is stochastic (noise-aware training, ops/noise.py)
+        and needs a 'noise' rng on every apply."""
+        return getattr(self.model, 'noise_p', None) is not None or \
+            bool(getattr(self.model, 'readout_p', 0.0))
+
     def _init_params(self):
         key = jax.random.PRNGKey(self.config.get('seed', 0))
         dummies = tuple(jnp.asarray(a[:1]) for a in self.train_inputs)
+        if self._noisy:
+            return self.model.init(
+                {'params': key, 'noise': jax.random.fold_in(key, 1)},
+                *dummies)
         return self.model.init(key, *dummies)
 
     def _apply(self, params, *inputs):
+        if self._noisy:
+            return self.model.apply(
+                params, *inputs,
+                rngs={'noise': jax.random.PRNGKey(
+                    self.config.get('seed', 0) or 0)})
         return self.model.apply(params, *inputs)
 
     # ── training ─────────────────────────────────────────────────────────────
@@ -330,6 +378,11 @@ class Solver:
 
         n_devices = int(config.get('num_devices') or 1)
         if n_devices > 1:
+            if self._noisy:
+                raise ValueError(
+                    "noise-aware training (--noise_p/--readout_p) is "
+                    "single-device for now; drop --num_devices or the "
+                    "noise flags")
             # SPMD data parallelism over a 'data' mesh axis: training-set
             # shards per device, psum'd global loss/grads
             from quanonet_tpu.parallel import make_mesh
@@ -347,7 +400,8 @@ class Solver:
             outputs = jnp.asarray(self.train_output)
             train_epoch = make_train_epoch(self.model.apply, optimizer,
                                            num_samples, batch_size,
-                                           per_sample)
+                                           per_sample,
+                                           noise_rng=self._noisy)
             run_segment = make_run_segment(train_epoch)
 
         seed = config.get('seed', 0)
@@ -466,7 +520,14 @@ class Solver:
         # thousands of dispatches over the TPU tunnel)
         batch_size = max(self.config.get('batch_size', 100), 4096)
         n = self.test_output.shape[0]
-        fwd = jax.jit(lambda *inp: self.model.apply(params, *inp))
+        if self._noisy:
+            # evaluate under the SAME channel the model was trained
+            # against (replayable: keyed off the run seed per chunk)
+            ekey = jax.random.PRNGKey(self.config.get('seed', 0) or 0)
+            fwd = jax.jit(lambda k, *inp: self.model.apply(
+                params, *inp, rngs={'noise': k}))
+        else:
+            fwd = jax.jit(lambda *inp: self.model.apply(params, *inp))
 
         # when training ran data-parallel, evaluate over the same mesh:
         # shard the sample axis over 'data' (params replicated) and let
@@ -492,7 +553,11 @@ class Solver:
                               for b in batch)
             else:
                 batch = tuple(jnp.asarray(b) for b in batch)
-            preds.append(np.asarray(fwd(*batch))[:real])
+            if self._noisy:
+                preds.append(np.asarray(
+                    fwd(jax.random.fold_in(ekey, s), *batch))[:real])
+            else:
+                preds.append(np.asarray(fwd(*batch))[:real])
         y_pred = np.concatenate(preds, axis=0)
         y_true = self.test_output
 
