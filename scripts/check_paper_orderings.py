@@ -188,6 +188,49 @@ def circuit_main():
     return 0
 
 
+def noise_main():
+    """Noise-robustness-study trend checks (docs/noise_robustness.csv,
+    scripts/noise_robustness_study.py): training THROUGH the deployment
+    channel must beat ideal training under noisy inference, and only
+    there."""
+    rows = []
+    with open(PATH) as f:
+        for row in csv.DictReader(f):
+            if row.get('zne'):
+                continue               # ZNE rows checked separately below
+            rows.append((row['trained'], float(row['eval_noise_p']),
+                         float(row['rel_l2'])))
+
+    def val(trained, p):
+        return next((v for t, ep, v in rows
+                     if t == trained and abs(ep - p) < 1e-12), None)
+    ps = sorted({ep for t, ep, _ in rows if ep > 0})
+    if not ps or val('ideal', 0.0) is None:
+        print("SKIP noise checks (csv not populated)")
+        return 0
+    failures = []
+
+    def check(name, ok):
+        print(f"  {'PASS' if ok else 'FAIL'} {name}")
+        if not ok:
+            failures.append(name)
+
+    check("ideal-trained wins on the noise-free simulator",
+          val('ideal', 0.0) < val('noise_aware', 0.0))
+    for p in ps:
+        check(f"noise-trained wins under eval noise p={p:g}",
+              val('noise_aware', p) < val('ideal', p))
+    ideal_curve = [val('ideal', p) for p in [0.0] + ps]
+    check("ideal-trained degrades monotonically with noise",
+          all(a < b for a, b in zip(ideal_curve, ideal_curve[1:])))
+    if failures:
+        print("FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("noise-robustness trends reproduce ✓")
+    return 0
+
+
 if __name__ == '__main__':
     sys.exit(circuit_main() if 'circuit' in PATH
-             else capacity_main() if 'capacity' in PATH else main())
+             else capacity_main() if 'capacity' in PATH
+             else noise_main() if 'noise' in PATH else main())
