@@ -121,6 +121,12 @@ def get_base_parser():
     parser.add_argument('--readout_p', type=float, default=None,
                         help='Per-qubit measurement bit-flip prob, applied '
                              'exactly inside the noisy forward')
+    parser.add_argument('--save_state', type=str, default=None,
+                        help="'true' => snapshot (epoch, params, opt_state, "
+                             'best) to train_state.npz at every segment '
+                             'boundary; a killed run restarted with the '
+                             'same config resumes bit-identically from the '
+                             'last boundary')
     return parser
 
 

@@ -73,6 +73,42 @@ def _segment_size(epochs, cap=64):
     return hi
 
 
+def save_train_state(path, done, params, opt_state, best_loss, best_params,
+                     loss_hist):
+    """Atomic elastic-resume snapshot at a segment boundary.
+
+    Leaves are stored by flatten order; the tree STRUCTURES are not
+    serialized — they are rebuilt at load time from a fresh
+    ``model.init`` / ``optimizer.init`` (same config => same structure),
+    so the file format is plain .npz with no pickling.
+    """
+    arrs = {'done': np.asarray(done, np.int64),
+            'best_loss': np.asarray(best_loss, np.float32),
+            'loss_hist': np.asarray(loss_hist, np.float32)}
+    for tag, tree in (('p', params), ('o', opt_state), ('b', best_params)):
+        for i, leaf in enumerate(jax.tree_util.tree_leaves(tree)):
+            arrs[f'{tag}{i}'] = np.asarray(leaf)
+    tmp = path + '.tmp.npz'
+    np.savez(tmp, **arrs)
+    os.replace(tmp, path)
+
+
+def load_train_state(path, params_like, opt_state_like):
+    """Inverse of :func:`save_train_state`.  ``*_like`` supply the pytree
+    structures (from fresh init on the identical config)."""
+    z = np.load(path)
+
+    def fill(tag, like):
+        treedef = jax.tree_util.tree_structure(like)
+        leaves = [jnp.asarray(z[f'{tag}{i}'])
+                  for i in range(treedef.num_leaves)]
+        return jax.tree_util.tree_unflatten(treedef, leaves)
+
+    return (int(z['done']), fill('p', params_like),
+            fill('o', opt_state_like), jnp.asarray(z['best_loss']),
+            fill('b', params_like), [float(x) for x in z['loss_hist']])
+
+
 def build_model(config, data):
     """Model factory (reference solver_ms.py:91-147 + solver_dde.py:108-212
     net-size policies).  Returns (flax module, input mode) where mode is
@@ -414,8 +450,27 @@ class Solver:
         best_params = params
         if_save = config.get('if_save', True)
         profile_dir = config.get('profile')
-        t0 = time.time()
         done = 0
+
+        # Elastic mid-run resume (--save_state): snapshot
+        # (epoch, params, opt_state, best) at every segment boundary; a
+        # killed run restarted with the identical config continues from
+        # the last boundary BIT-IDENTICALLY (the per-epoch key protocol
+        # is position-indexed, all_keys[done:], so the surviving epochs
+        # replay the exact same program+keys).  The reference can only
+        # skip fully-completed experiments (solver_ms.py resume-skip).
+        save_state = parse_bool(config.get('save_state', 'false'))
+        state_path = os.path.join(self.exp_logger.exp_dir, 'train_state.npz')
+        if save_state and os.path.exists(state_path):
+            (done, params, opt_state, best_loss_dev, best_params,
+             history['loss_train']) = load_train_state(
+                state_path, params, opt_state)
+            self.logger.info(
+                f"[Elastic resume] restored train state at epoch {done} "
+                f"from {state_path}")
+        start_done = done
+
+        t0 = time.time()
         while done < epochs:
             n = min(seg, epochs - done)
             is_profile_seg = (done == seg) or (seg >= epochs and done == 0)
@@ -456,9 +511,17 @@ class Solver:
                     self.best_model_path = self.exp_logger.get_ckpt_path()
                     self._save_checkpoint(self.best_params,
                                           self.best_model_path)
+            if save_state and done < epochs:
+                save_train_state(state_path, done, jax.device_get(params),
+                                 jax.device_get(opt_state),
+                                 float(best_loss_dev),
+                                 jax.device_get(best_params),
+                                 history['loss_train'])
 
+        if save_state and os.path.exists(state_path):
+            os.remove(state_path)           # run completed; snapshot obsolete
         wall = time.time() - t0
-        sps = epochs * num_samples / max(wall, 1e-9)
+        sps = (epochs - start_done) * num_samples / max(wall, 1e-9)
         self.logger.info(
             f"Training wall-time: {wall:.2f}s "
             f"({sps:,.0f} samples/sec incl. compile)")
