@@ -2,10 +2,17 @@
 SPMD data-parallel training segments for the Solver (--num_devices N).
 
 Each device holds a 1/N shard of the training set; every optimizer step
-computes the GLOBAL masked MSE via psum inside shard_map, so gradients
-(and therefore the replicated parameters) stay bit-identical across
-devices.  Shuffling is per-device over the local shard ("local shuffling"
-— the standard DP relaxation of global shuffling; the composition of
+computes the GLOBAL masked MSE via psum inside shard_map and then
+ALL-REDUCES THE GRADIENTS with a second psum.  The gradient psum is
+load-bearing: differentiating through ``psum(local_sq)`` hands each
+device only the cotangent of its LOCAL contribution (psum's transpose is
+a broadcast, not another reduction), so without the explicit
+``psum(grads, 'data')`` every replica would apply only its own shard's
+gradient piece and the "replicated" parameters silently drift apart.
+With it, updates are the exact full-batch gradient and replicas stay
+bit-identical across devices (asserted in tests/test_parallel.py).
+Shuffling is per-device over the local shard ("local shuffling" — the
+standard DP relaxation of global shuffling; the composition of
 minibatches differs from single-device training but each sample is still
 visited exactly once per epoch).
 
@@ -65,7 +72,8 @@ def make_dp_run_segment(model_apply, optimizer, mesh, global_n, batch_size,
             m = mask.reshape(mask.shape + (1,) * (pred.ndim - 1))
             sq = jnp.sum((pred - batch_out) ** 2 * m)
             cnt = jnp.sum(mask)
-            # GLOBAL masked mean: psum makes grads identical on all devices
+            # GLOBAL masked mean (the VALUE; grads still need their own
+            # psum in step() — psum's transpose is a broadcast)
             sq = jax.lax.psum(sq, 'data')
             cnt = jax.lax.psum(cnt, 'data')
             return sq / jnp.maximum(cnt * per_sample, 1.0), cnt
@@ -78,6 +86,10 @@ def make_dp_run_segment(model_apply, optimizer, mesh, global_n, batch_size,
             bm = bm * real_mask[bi]     # mask device-padding rows too
             (loss, cnt), grads = jax.value_and_grad(
                 batch_loss, has_aux=True)(params, batch_in, batch_out, bm)
+            # grads here are each device's LOCAL piece of the global-loss
+            # gradient (see module docstring); sum them so every replica
+            # applies the identical full-batch gradient
+            grads = jax.lax.psum(grads, 'data')
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, cnt)

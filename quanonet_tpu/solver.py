@@ -431,6 +431,18 @@ class Solver:
                                          self.train_output)
             self.logger.info(
                 f"Data-parallel training over {n_devices} devices")
+
+            # Elastic-resume placement contract: restored host arrays must
+            # be committed REPLICATED on the mesh, exactly like the
+            # previous segment's outputs — otherwise XLA compiles a
+            # second program variant for the host-placed inputs whose
+            # reduction order (and hence training trajectory) differs.
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            def _commit_restored(tree):
+                sh = NamedSharding(mesh, PartitionSpec())
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(x, sh), tree)
         else:
             inputs = tuple(jnp.asarray(a) for a in self.train_inputs)
             outputs = jnp.asarray(self.train_output)
@@ -439,6 +451,7 @@ class Solver:
                                            per_sample,
                                            noise_rng=self._noisy)
             run_segment = make_run_segment(train_epoch)
+            _commit_restored = None
 
         seed = config.get('seed', 0)
         base_key = jax.random.PRNGKey(seed if seed is not None else 0)
@@ -465,6 +478,10 @@ class Solver:
             (done, params, opt_state, best_loss_dev, best_params,
              history['loss_train']) = load_train_state(
                 state_path, params, opt_state)
+            if _commit_restored is not None:
+                params, opt_state, best_loss_dev, best_params = \
+                    _commit_restored(
+                        (params, opt_state, best_loss_dev, best_params))
             self.logger.info(
                 f"[Elastic resume] restored train state at epoch {done} "
                 f"from {state_path}")

@@ -92,6 +92,55 @@ def test_solver_num_devices_end_to_end(tmp_path, monkeypatch):
     np.testing.assert_allclose(metrics['rel_l2'], ref_rel, atol=1e-5)
 
 
+def test_dp_solver_replicas_bit_identical_and_exact():
+    """Regression: ``value_and_grad`` inside shard_map yields only the
+    LOCAL gradient piece (psum's transpose is a broadcast), so
+    make_dp_run_segment must psum the grads explicitly.  Without it every
+    replica trains on its own shard and the 'replicated' params silently
+    drift apart (found via the elastic-resume bit-identity test).  Pins:
+    (a) replicas bit-identical after a segment, (b) a one-full-batch dp
+    step EXACTLY equals the single-device full-batch optimizer step."""
+    from quanonet_tpu.parallel.dp_solver import make_dp_run_segment
+
+    mesh = make_mesh(4)
+
+    def apply_fn(p, x):
+        return x @ p['w'] + p['b']
+
+    params = {'w': jnp.ones((3, 1), jnp.float32),
+              'b': jnp.zeros((1,), jnp.float32)}
+    opt = optax.adam(0.01)
+    # batch_size == global_n => exactly one full-batch step per epoch,
+    # directly comparable to an unsharded full-batch update
+    rs, shard_data = make_dp_run_segment(apply_fn, opt, mesh,
+                                         global_n=24, batch_size=24,
+                                         per_sample=1)
+    rng = np.random.RandomState(0)
+    X = rng.randn(24, 3).astype(np.float32)
+    Y = rng.randn(24, 1).astype(np.float32)
+    ins, outs = shard_data((X,), Y)
+    keys = jax.random.split(jax.random.PRNGKey(0), 1)
+    bl = jnp.asarray(np.inf, jnp.float32)
+    p1, o1, _, _, _ = rs(params, opt.init(params), bl, params, keys,
+                         ins, outs)
+
+    for k in ('w', 'b'):
+        shards = [np.asarray(s.data) for s in p1[k].addressable_shards]
+        assert len(shards) == 4
+        for s in shards[1:]:
+            np.testing.assert_array_equal(s, shards[0])
+
+    def full_loss(p):
+        return jnp.mean((apply_fn(p, jnp.asarray(X)) - jnp.asarray(Y)) ** 2)
+
+    g = jax.grad(full_loss)(params)
+    upd, _ = opt.update(g, opt.init(params), params)
+    ref = optax.apply_updates(params, upd)
+    for k in ('w', 'b'):
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(ref[k]),
+                                   rtol=0, atol=1e-7)
+
+
 def test_dp_solver_bad_batch_size():
     from quanonet_tpu.parallel.dp_solver import make_dp_run_segment
     mesh = make_mesh(8)

@@ -85,6 +85,38 @@ def test_interrupted_run_resumes_bit_identically():
     assert b2.best_loss == a.best_loss
 
 
+def test_dp_interrupted_run_resumes_bit_identically():
+    """save_state across the SPMD data-parallel path: snapshots hold the
+    device_get-gathered (replicated) params; the restarted run feeds the
+    host arrays back through the mesh run_segment unchanged."""
+    over = dict(num_train=21, num_points=40, num_points_0=8,
+                test_sample_num=8, batch_size=20, num_devices=4)
+    a = Solver(_cfg('dpA', **over))
+    hist_a = a.train()
+
+    b1 = Solver(_cfg('dpB', **over))
+    orig = b1.exp_logger.log_metric
+
+    def dying_log(tag, value, step):
+        if step >= 4:
+            raise RuntimeError('simulated preemption')
+        return orig(tag, value, step)
+
+    b1.exp_logger.log_metric = dying_log
+    with pytest.raises(RuntimeError, match='simulated preemption'):
+        b1.train()
+    state_path = os.path.join(b1.exp_logger.exp_dir, 'train_state.npz')
+    assert int(np.load(state_path)['done']) == 4
+
+    b2 = Solver(_cfg('dpB', **over))
+    hist_b = b2.train()
+    assert not os.path.exists(state_path)
+    np.testing.assert_array_equal(np.asarray(hist_a['loss_train']),
+                                  np.asarray(hist_b['loss_train']))
+    for la, lb in zip(_leaves(a.params), _leaves(b2.params)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
 def test_state_roundtrip(tmp_path):
     import jax
     import jax.numpy as jnp
