@@ -162,7 +162,11 @@ def _build_model(cfg: dict, branch_in: int, trunk_in: int):
                   noise_p=(float(cfg['noise_p'])
                            if cfg.get('noise_p') is not None else None),
                   noise_traj=int(cfg.get('noise_traj') or 32),
-                  readout_p=float(cfg.get('readout_p') or 0.0))
+                  readout_p=float(cfg.get('readout_p') or 0.0),
+                  damp_gamma=(float(cfg['damp_gamma'])
+                              if cfg.get('damp_gamma') else None),
+                  dephase_p=(float(cfg['dephase_p'])
+                             if cfg.get('dephase_p') else None))
         if mt == 'QuanONet':
             return QuanONet(branch_input_size=branch_in,
                             trunk_input_size=trunk_in, **kw)
@@ -233,7 +237,9 @@ def predict(model, params, branch_input, trunk_input=None, cfg=None,
         model_type in ('QuanONet', 'DeepONet')
     has_trunk_concat = trunk_input is not None and model_type in ('FNN',)
     noisy = getattr(model, 'noise_p', None) is not None or \
-        bool(getattr(model, 'readout_p', 0.0))
+        bool(getattr(model, 'readout_p', 0.0)) or \
+        getattr(model, 'damp_gamma', None) is not None or \
+        getattr(model, 'dephase_p', None) is not None
     sampled = bool(getattr(model, 'shots', None)) or noisy
     rng_name = 'noise' if noisy else 'shots'
 
@@ -342,6 +348,23 @@ def _parser():
                         '--zne 1 2 3) and Richardson-extrapolate the '
                         'predictions to zero noise; requires --noise_p '
                         'or a _Noise checkpoint')
+    p.add_argument('--t1_us', type=float, default=None,
+                   help='Calibration T1 (µs): adds the amplitude-damping '
+                        '(MCWF quantum-jump) channel per block; needs '
+                        '--block_time_us')
+    p.add_argument('--t2_us', type=float, default=None,
+                   help='Calibration T2 (µs): adds the pure-dephasing '
+                        '(Z-twirl) channel per block; needs --block_time_us')
+    p.add_argument('--block_time_us', type=float, default=None,
+                   help='Hardware wall-time one HEA block occupies (µs); '
+                        'converts --t1_us/--t2_us to per-block (γ, p_φ) '
+                        'via ops.noise.channel_params_from_t1t2')
+    p.add_argument('--damp_gamma', type=float, default=None,
+                   help='Directly set the per-block amplitude-damping γ '
+                        '(overrides --t1_us)')
+    p.add_argument('--dephase_p', type=float, default=None,
+                   help='Directly set the per-block pure-dephasing Z-flip '
+                        'prob (overrides --t2_us)')
     return p
 
 
@@ -405,12 +428,31 @@ def main(argv=None):
     branch_in = branch.shape[-1] if branch.ndim == 3 else branch.shape[1]
     trunk_in = trunk.shape[1] if trunk is not None else 0
 
+    # T1/T2 decoherence: --t1_us/--t2_us + --block_time_us map calibration
+    # times to per-block channel strengths; --damp_gamma/--dephase_p set
+    # them directly
+    damp_gamma, dephase_p = args.damp_gamma, args.dephase_p
+    if args.t1_us is not None or args.t2_us is not None:
+        if args.block_time_us is None:
+            raise SystemExit("--t1_us/--t2_us need --block_time_us")
+        from quanonet_tpu.ops.noise import channel_params_from_t1t2
+        g, pphi = channel_params_from_t1t2(
+            args.block_time_us, args.t1_us or 1e12, args.t2_us or 1e12)
+        if damp_gamma is None and args.t1_us is not None:
+            damp_gamma = g
+        if dephase_p is None and args.t2_us is not None:
+            dephase_p = pphi
+        print(f"T1/T2 : block={args.block_time_us}us "
+              f"T1={args.t1_us}us T2={args.t2_us}us -> "
+              f"damp_gamma={damp_gamma} dephase_p={dephase_p}")
+
     overrides = dict(model_type=args.model_type, num_qubits=args.num_qubits,
                      net_size=args.net_size, scale_coeff=args.scale_coeff,
                      ham_bound=args.ham_bound,
                      quantum_backend=args.quantum_backend,
                      shots=args.shots, noise_p=args.noise_p,
-                     noise_traj=args.noise_traj, readout_p=args.readout_p)
+                     noise_traj=args.noise_traj, readout_p=args.readout_p,
+                     damp_gamma=damp_gamma, dephase_p=dephase_p)
     model, params, cfg = load_model(args.ckpt, branch_in=branch_in,
                                     trunk_in=trunk_in, **overrides)
     print(f"Model : {cfg['model_type']}  backend={cfg['_backend']}")

@@ -37,8 +37,9 @@ from quanonet_tpu.ops.hea import (
 def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
              shots=None, shot_key=None,
              noise_p=None, noise_traj=32, readout_p=0.0, noise_key=None,
-             zne_scales=None):
-    noisy = noise_p is not None or readout_p
+             zne_scales=None, damp_gamma=None, dephase_p=None):
+    decohere = damp_gamma is not None or dephase_p is not None
+    noisy = noise_p is not None or readout_p or decohere
     if zne_scales:
         # zero-noise extrapolation (ops/mitigation.py): CRN trajectories
         # evaluate every scale in one program; replaces the plain noisy path
@@ -47,6 +48,9 @@ def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
         if shots:
             raise ValueError("zne_scales and shots are mutually exclusive "
                              "(extrapolate exact trajectory expectations)")
+        if decohere:
+            raise ValueError("zne_scales extrapolates the depolarizing "
+                             "channel only; drop damp_gamma/dephase_p")
         from quanonet_tpu.ops.mitigation import zne_expectation
     elif noisy:
         from quanonet_tpu.ops.noise import noisy_expectation
@@ -64,7 +68,9 @@ def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
             return noisy_expectation(noise_key, spec, ansatz, x,
                                      noise_p if noise_p is not None else 0.0,
                                      noise_traj, diag=diag, shots=shots,
-                                     readout_p=readout_p)
+                                     readout_p=readout_p,
+                                     damp_gamma=damp_gamma,
+                                     dephase_p=dephase_p)
         if shots:
             return shot_expectation(shot_key, spec, ansatz, x, shots,
                                     diag=diag, engine=engine)
@@ -80,7 +86,8 @@ def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
                                  noise_p if noise_p is not None else 0.0,
                                  noise_traj, pauli=ham_pauli, offset=offset,
                                  coeff=coeff, shots=shots,
-                                 readout_p=readout_p)
+                                 readout_p=readout_p,
+                                 damp_gamma=damp_gamma, dephase_p=dephase_p)
     if shots:
         return shot_expectation(shot_key, spec, ansatz, x, shots,
                                 pauli=ham_pauli, offset=offset, coeff=coeff,
@@ -113,6 +120,11 @@ class QuanONet(nn.Module):
     # Zero-noise extrapolation (ops/mitigation.py): Richardson scales,
     # e.g. (1., 2., 3.); needs noise_p. Mutually exclusive with shots.
     zne_scales: Optional[Tuple[float, ...]] = None
+    # T1/T2 decoherence per block (ops/noise.py MCWF trajectories):
+    # damp_gamma = 1 − e^(−t_block/T1), dephase_p = Z-flip prob from Tφ;
+    # derive both from calibration via channel_params_from_t1t2.
+    damp_gamma: Optional[float] = None
+    dephase_p: Optional[float] = None
 
     @nn.compact
     def __call__(self, branch_input, trunk_input):
@@ -141,7 +153,9 @@ class QuanONet(nn.Module):
             lambda key, _: init_ansatz_weights(key, spec),
             spec.weight_shape())
         bias = self.param('bias', nn.initializers.zeros, ())
-        noisy = self.noise_p is not None or self.readout_p
+        noisy = (self.noise_p is not None or self.readout_p
+                 or self.damp_gamma is not None
+                 or self.dephase_p is not None)
         shot_key = self.make_rng('shots') if (self.shots and not noisy) \
             else None
         noise_key = self.make_rng('noise') if noisy else None
@@ -150,7 +164,9 @@ class QuanONet(nn.Module):
                        shots=self.shots, shot_key=shot_key,
                        noise_p=self.noise_p, noise_traj=self.noise_traj,
                        readout_p=self.readout_p, noise_key=noise_key,
-                       zne_scales=self.zne_scales)
+                       zne_scales=self.zne_scales,
+                       damp_gamma=self.damp_gamma,
+                       dephase_p=self.dephase_p)
         return out + bias
 
 
@@ -171,6 +187,8 @@ class HEAQNN(nn.Module):
     noise_traj: int = 32
     readout_p: float = 0.0
     zne_scales: Optional[Tuple[float, ...]] = None  # ZNE (see QuanONet)
+    damp_gamma: Optional[float] = None  # T1/T2 channels (see QuanONet)
+    dephase_p: Optional[float] = None
 
     @nn.compact
     def __call__(self, x):
@@ -187,7 +205,9 @@ class HEAQNN(nn.Module):
             'ansatz',
             lambda key, _: init_ansatz_weights(key, spec),
             spec.weight_shape())
-        noisy = self.noise_p is not None or self.readout_p
+        noisy = (self.noise_p is not None or self.readout_p
+                 or self.damp_gamma is not None
+                 or self.dephase_p is not None)
         shot_key = self.make_rng('shots') if (self.shots and not noisy) \
             else None
         noise_key = self.make_rng('noise') if noisy else None
@@ -196,4 +216,6 @@ class HEAQNN(nn.Module):
                         shots=self.shots, shot_key=shot_key,
                         noise_p=self.noise_p, noise_traj=self.noise_traj,
                         readout_p=self.readout_p, noise_key=noise_key,
-                        zne_scales=self.zne_scales)
+                        zne_scales=self.zne_scales,
+                        damp_gamma=self.damp_gamma,
+                        dephase_p=self.dephase_p)

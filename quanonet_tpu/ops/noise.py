@@ -87,17 +87,60 @@ def sample_pauli_masks(key, p, n_blocks, n_qubits):
     return occur & (choice != 2), occur & (choice != 0)
 
 
-def _traj_forward(spec: HEASpec, utr, uti, xb, a, b):
+def apply_amplitude_damping(sr, si, q, gamma, u, n_qubits):
+    """One MCWF (quantum-jump) unraveling step of the T1 amplitude-damping
+    channel on qubit q: Kraus K0 = diag(1, √(1−γ)), K1 = √γ·|0⟩⟨1|.
+
+    For each batched pure state, the jump fires with the state-dependent
+    probability p_jump = γ·P1 (P1 = population of the 1-subspace of q,
+    computed in-graph); the jump lowers the 1-amplitudes into the
+    0-subspace, the no-jump branch scales them by √(1−γ); both branches
+    renormalize, so the trajectory stays a unit pure state and the
+    trajectory average reproduces the exact channel (standard Monte-Carlo
+    wave-function method).  u: (batch,) uniforms; gamma: scalar.  Both
+    branches are computed and selected with jnp.where — static shapes,
+    jit/vmap/scan-safe.
+    """
+    batch = sr.shape[0]
+    lo = 1 << q
+    hi = 1 << (n_qubits - 1 - q)
+    r = sr.reshape(batch, hi, 2, lo)
+    i = si.reshape(batch, hi, 2, lo)
+    r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
+    i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
+    p1 = jnp.sum(r1 * r1 + i1 * i1, axis=(1, 2))          # (batch,)
+    p_jump = gamma * p1
+    jump = (u < p_jump)[:, None, None]
+
+    z = jnp.zeros_like(r1)
+    inv_j = jax.lax.rsqrt(jnp.maximum(p1, 1e-30))[:, None, None]
+    s = jnp.sqrt(jnp.maximum(1.0 - gamma, 0.0))
+    inv_n = jax.lax.rsqrt(jnp.maximum(1.0 - p_jump, 1e-30))[:, None, None]
+
+    out_r0 = jnp.where(jump, r1 * inv_j, r0 * inv_n)
+    out_r1 = jnp.where(jump, z, r1 * (s * inv_n))
+    out_i0 = jnp.where(jump, i1 * inv_j, i0 * inv_n)
+    out_i1 = jnp.where(jump, z, i1 * (s * inv_n))
+    out_r = jnp.stack([out_r0, out_r1], axis=2).reshape(batch, -1)
+    out_i = jnp.stack([out_i0, out_i1], axis=2).reshape(batch, -1)
+    return out_r, out_i
+
+
+def _traj_forward(spec: HEASpec, utr, uti, xb, a, b, gamma=None, u=None):
     """One noise trajectory, physical frame.  utr/uti: pre-transposed block
     unitaries (nb, D, D); xb: (nb, batch, n) encode angles; a/b: (nb, n)
-    sampled Pauli components.  Returns the final split-real state."""
+    sampled Pauli components; gamma (n,) per-qubit damping per block and
+    u (nb, n, batch) jump uniforms when amplitude damping is on.
+    Returns the final split-real state."""
     n = spec.n_qubits
     batch = xb.shape[1]
     state = _init_state(batch, spec.dim)
+    damping = gamma is not None
+    xs = (utr, uti, xb, a, b) + ((u,) if damping else ())
 
     def step(state, inp):
         sr, si = state
-        tr, ti, x_b, a_b, b_b = inp
+        tr, ti, x_b, a_b, b_b = inp[:5]
         for q in range(n):                         # encode: ⊗RX(x_b)
             sr, si = _rx_single(sr, si, q, x_b[:, q], n)
         t1 = sr @ tr                               # ansatz: s ← U_b s
@@ -106,9 +149,14 @@ def _traj_forward(spec: HEASpec, utr, uti, xb, a, b):
         sr, si = t1 - t2, t3 - t1 - t2
         for q in range(n):                         # sampled Pauli noise
             sr, si = apply_pauli_xz(sr, si, q, a_b[q], b_b[q], n)
+        if damping:                                # T1 decay, MCWF
+            u_b = inp[5]
+            for q in range(n):
+                sr, si = apply_amplitude_damping(sr, si, q, gamma[q],
+                                                 u_b[q], n)
         return (sr, si), None
 
-    (sr, si), _ = jax.lax.scan(step, state, (utr, uti, xb, a, b))
+    (sr, si), _ = jax.lax.scan(step, state, xs)
     return sr, si
 
 
@@ -133,23 +181,35 @@ def apply_readout_error(probs, ro):
 @partial(jax.jit, static_argnames=('spec', 'n_traj', 'pauli', 'shots'))
 def noisy_expectation(key, spec: HEASpec, weights, x, noise_p, n_traj,
                       diag=None, pauli='Z', offset=0.0, coeff=0.0,
-                      shots=None, readout_p=0.0):
-    """Trajectory-averaged ⟨H⟩ under per-block depolarizing noise.
+                      shots=None, readout_p=0.0, damp_gamma=None,
+                      dephase_p=None):
+    """Trajectory-averaged ⟨H⟩ under per-block decoherence noise.
 
     The noisy analog of ops.hea.hea_expectation: identical observable
-    arguments plus (key, noise_p, n_traj, shots, readout_p).
+    arguments plus (key, noise_p, n_traj, shots, readout_p, damp_gamma,
+    dephase_p).
 
     key       PRNG key — trajectories (and shots) replay bit-identically.
-    noise_p   scalar or (n_qubits,) per-qubit error prob per block.
+    noise_p   scalar or (n_qubits,) per-qubit depolarizing prob per block.
     n_traj    trajectories to average (estimator std ∝ 1/√n_traj).
     shots     optional TOTAL shot budget; each trajectory is estimated
               from shots // n_traj multinomial draws (hardware semantics:
               one noise realization per shot).  None = exact per-trajectory
               expectations.
     readout_p scalar or (n,) measurement bit-flip prob, applied exactly.
+    damp_gamma  None, scalar or (n,): T1 amplitude-damping γ per block
+              (γ = 1 − e^(−t_block/T1)), simulated by MCWF quantum jumps
+              — see apply_amplitude_damping / channel_params_from_t1t2.
+    dephase_p None, scalar or (n,): pure-dephasing (T2) Z-flip prob per
+              block, XOR-composed into the depolarizing Pauli mask (exact:
+              Z^c·X^a·Z^b = ±X^a·Z^(b⊕c), the sign is global phase).
+
+    Channel order per block: encode → ansatz U_b → depolarizing+dephasing
+    Paulis → amplitude damping (channels on distinct qubits commute).
 
     Returns (batch, 1) float32.  Unbiased in the channel: the expectation
-    over trajectories equals the depolarizing-channel value.
+    over trajectories equals the exact composed-channel value
+    (density-matrix oracle check in tests/test_noise.py).
     """
     if not spec.uniform_encode:
         raise ValueError("noisy_expectation requires a uniform-encode spec "
@@ -166,11 +226,19 @@ def noisy_expectation(key, spec: HEASpec, weights, x, noise_p, n_traj,
     else:
         d = jnp.asarray(_pauli_sum_diag(n, offset, coeff))
     per_traj_shots = max(1, shots // n_traj) if shots else None
+    batch = x.shape[0]
+    gamma = None if damp_gamma is None else jnp.broadcast_to(
+        jnp.asarray(damp_gamma, jnp.float32), (n,))
 
     def one(k):
-        kn, ks = jax.random.split(k)
+        kn, ks, kd, ku = jax.random.split(k, 4)
         a, b = sample_pauli_masks(kn, noise_p, nb, n)
-        sr, si = _traj_forward(spec, utr, uti, xb, a, b)
+        if dephase_p is not None:
+            dp = jnp.broadcast_to(jnp.asarray(dephase_p, jnp.float32), (n,))
+            b = b ^ jax.random.bernoulli(kd, dp, (nb, n))
+        u = (jax.random.uniform(ku, (nb, n, batch))
+             if gamma is not None else None)
+        sr, si = _traj_forward(spec, utr, uti, xb, a, b, gamma, u)
         if pauli != 'Z':
             sr, si = rotate_to_pauli_basis(sr, si, pauli, n)
         probs = apply_readout_error(probs_pair(sr, si), readout_p)
@@ -199,3 +267,27 @@ def noise_p_from_calibration(spec: HEASpec, gate_error_2q,
     p = sub_per_block * (2.0 * float(gate_error_2q)
                          + 3.0 * float(gate_error_1q))
     return float(np.clip(p, 0.0, 0.999))
+
+
+def channel_params_from_t1t2(block_time_us, t1_us, t2_us):
+    """(damp_gamma, dephase_p) per block from calibration T1/T2 times (the
+    numbers ibm_export.profile_hardware reads from backend qubit
+    properties) and the wall-time a block occupies on hardware.
+
+    * amplitude damping:  γ = 1 − e^(−t/T1)
+    * pure dephasing:     1/Tφ = 1/T2 − 1/(2·T1)  (clipped at 0 — T2 is
+      physically ≤ 2·T1; calibration snapshots occasionally report
+      T2 > 2·T1, which means T1-limited coherence and zero pure
+      dephasing), then p_φ = (1 − e^(−t/Tφ))/2, the Z-flip prob whose
+      twirled channel decays coherences by e^(−t/Tφ) = 1 − 2·p_φ.
+
+    Returns plain floats, ready for noisy_expectation(damp_gamma=…,
+    dephase_p=…).
+    """
+    t, t1, t2 = float(block_time_us), float(t1_us), float(t2_us)
+    if t < 0 or t1 <= 0 or t2 <= 0:
+        raise ValueError("block_time_us must be >= 0 and T1/T2 > 0")
+    gamma = 1.0 - np.exp(-t / t1)
+    inv_tphi = max(0.0, 1.0 / t2 - 0.5 / t1)
+    p_phi = 0.5 * (1.0 - np.exp(-t * inv_tphi))
+    return float(gamma), float(p_phi)

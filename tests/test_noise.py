@@ -235,3 +235,178 @@ def test_nonuniform_spec_rejected():
     with pytest.raises(ValueError, match='uniform-encode'):
         noisy_expectation(KEY, spec, w, x, 0.1, 2,
                           diag=jnp.zeros(4))
+
+
+# ── T1/T2 channels: amplitude damping (MCWF) + pure dephasing ──────────────
+
+def _kron_op(P, q, n):
+    """Lift 2x2 P onto qubit q (little-endian: q=0 least significant)."""
+    I2 = np.eye(2, dtype=complex)
+    mats = [I2] * n
+    mats[n - 1 - q] = P
+    out = mats[0]
+    for m in mats[1:]:
+        out = np.kron(out, m)
+    return out
+
+
+def _dm_oracle(spec, w, x, diag, p_dep, p_phi, gamma):
+    """Exact density-matrix evolution of the composed noise model, fully
+    independent of the trajectory code: encode ⊗RX → U_b → per-qubit
+    depolarizing → per-qubit dephasing → per-qubit amplitude damping
+    (Kraus), per block.  Complex128 NumPy; returns (batch,) ⟨diag⟩."""
+    from quanonet_tpu.ops.hea import compile_block_unitaries
+    n, nb, D = spec.n_qubits, spec.n_blocks, spec.dim
+    ur, ui = compile_block_unitaries(spec, w)
+    U = np.asarray(ur, np.float64) + 1j * np.asarray(ui, np.float64)
+    X = np.array([[0, 1], [1, 0]], dtype=complex)
+    Y = np.array([[0, -1j], [1j, 0]], dtype=complex)
+    Z = np.array([[1, 0], [0, -1]], dtype=complex)
+    K0 = np.array([[1, 0], [0, np.sqrt(1 - gamma)]], dtype=complex)
+    K1 = np.array([[0, np.sqrt(gamma)], [0, 0]], dtype=complex)
+
+    def rx(theta):
+        c, s = np.cos(theta / 2), np.sin(theta / 2)
+        return np.array([[c, -1j * s], [-1j * s, c]])
+
+    xb = np.asarray(x, np.float64).reshape(-1, nb, n)
+    h = np.asarray(diag, np.float64)
+    outs = []
+    for s in range(xb.shape[0]):
+        rho = np.zeros((D, D), dtype=complex)
+        rho[0, 0] = 1.0
+        for b in range(nb):
+            E = np.eye(D, dtype=complex)
+            for q in range(n):
+                E = _kron_op(rx(xb[s, b, q]), q, n) @ E
+            V = U[b] @ E
+            rho = V @ rho @ V.conj().T
+            for q in range(n):
+                rho = (1 - p_dep) * rho + (p_dep / 3) * sum(
+                    _kron_op(P, q, n) @ rho @ _kron_op(P, q, n).conj().T
+                    for P in (X, Y, Z))
+            for q in range(n):
+                Zq = _kron_op(Z, q, n)
+                rho = (1 - p_phi) * rho + p_phi * (Zq @ rho @ Zq.conj().T)
+            for q in range(n):
+                A0, A1 = _kron_op(K0, q, n), _kron_op(K1, q, n)
+                rho = A0 @ rho @ A0.conj().T + A1 @ rho @ A1.conj().T
+        outs.append(float(np.real(np.sum(np.diag(rho) * h))))
+    return np.array(outs)
+
+
+def test_dm_oracle_matches_ideal_at_zero_noise():
+    """Frame/convention self-check of the oracle: with every channel off
+    it must reproduce the dense engine exactly."""
+    spec, w, x, diag = _setup(batch=2)
+    want = np.asarray(hea_expectation(spec, w, x, diag=diag,
+                                      engine='dense'))[:, 0]
+    got = _dm_oracle(spec, w, x, diag, 0.0, 0.0, 0.0)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_composed_channels_vs_density_matrix_oracle():
+    """Trajectory mean (dep + dephase + damp together) vs the exact
+    density-matrix channel value."""
+    spec, w, x, diag = _setup(batch=2)
+    p_dep, p_phi, gamma = 0.15, 0.10, 0.20
+    want = _dm_oracle(spec, w, x, diag, p_dep, p_phi, gamma)
+    got = np.asarray(noisy_expectation(
+        KEY, spec, w, x, p_dep, 8192, diag=diag,
+        damp_gamma=gamma, dephase_p=p_phi))[:, 0]
+    np.testing.assert_allclose(got, want, atol=0.1)
+
+    # damping-only, tighter: the only stochastic element is the jump draw
+    want_d = _dm_oracle(spec, w, x, diag, 0.0, 0.0, 0.35)
+    got_d = np.asarray(noisy_expectation(
+        KEY, spec, w, x, 0.0, 8192, diag=diag, damp_gamma=0.35))[:, 0]
+    np.testing.assert_allclose(got_d, want_d, atol=0.1)
+
+
+def test_full_damping_resets_to_ground():
+    """γ=1: after the last block every qubit is reset to |0⟩ on BOTH MCWF
+    branches, so ⟨Z_0⟩ = +1 exactly for every trajectory — deterministic,
+    no statistical tolerance."""
+    spec, w, x, _ = _setup(batch=3)
+    zdiag = jnp.asarray(np.array([1, -1, 1, -1], np.float32))
+    got = np.asarray(noisy_expectation(KEY, spec, w, x, 0.0, 8,
+                                       diag=zdiag, damp_gamma=1.0))
+    np.testing.assert_allclose(got, 1.0, atol=1e-5)
+
+
+def test_amplitude_damping_unit_properties():
+    """γ=0 is the identity; any γ preserves the norm on both branches."""
+    from quanonet_tpu.ops.noise import apply_amplitude_damping
+    rng = np.random.RandomState(11)
+    psi = rng.randn(4, 8) + 1j * rng.randn(4, 8)
+    psi /= np.linalg.norm(psi, axis=1, keepdims=True)
+    sr = jnp.asarray(psi.real.astype(np.float32))
+    si = jnp.asarray(psi.imag.astype(np.float32))
+    u = jnp.asarray(rng.rand(4).astype(np.float32))
+    for q in range(3):
+        gr, gi = apply_amplitude_damping(sr, si, q, jnp.float32(0.0), u, 3)
+        np.testing.assert_allclose(np.asarray(gr), psi.real.astype(np.float32),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(gi), psi.imag.astype(np.float32),
+                                   atol=1e-6)
+        for gamma in (0.3, 0.9):
+            gr, gi = apply_amplitude_damping(sr, si, q, jnp.float32(gamma),
+                                             u, 3)
+            norms = np.sum(np.asarray(gr) ** 2 + np.asarray(gi) ** 2, axis=1)
+            np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_channel_params_from_t1t2():
+    from quanonet_tpu.ops.noise import channel_params_from_t1t2
+    # zero duration -> no decay
+    assert channel_params_from_t1t2(0.0, 100.0, 80.0) == (0.0, 0.0)
+    g, p = channel_params_from_t1t2(1.0, 100.0, 80.0)
+    assert 0 < g < 1 and 0 < p < 0.5
+    np.testing.assert_allclose(g, 1 - np.exp(-1 / 100), rtol=1e-12)
+    np.testing.assert_allclose(p, 0.5 * (1 - np.exp(-(1 / 80 - 1 / 200))),
+                               rtol=1e-12)
+    # T1-limited coherence (T2 = 2 T1) -> zero pure dephasing; clip beyond
+    assert channel_params_from_t1t2(1.0, 100.0, 200.0)[1] == 0.0
+    assert channel_params_from_t1t2(1.0, 100.0, 500.0)[1] == 0.0
+    # longer block -> more decay
+    g2, p2 = channel_params_from_t1t2(2.0, 100.0, 80.0)
+    assert g2 > g and p2 > p
+    with pytest.raises(ValueError):
+        channel_params_from_t1t2(1.0, -1.0, 80.0)
+
+
+def test_model_t1t2_integration():
+    """damp_gamma/dephase_p thread through the flax model and infer.predict;
+    zero-strength channels reproduce the ideal forward; ZNE refuses to
+    extrapolate non-depolarizing channels."""
+    from quanonet_tpu.models import QuanONet
+    from quanonet_tpu.infer import predict
+    kw = dict(num_qubits=2, branch_input_size=5, trunk_input_size=2,
+              net_size=(2, 1, 2, 1), scale_coeff=0.1,
+              if_trainable_freq=True)
+    rng = np.random.RandomState(0)
+    b = rng.randn(4, 5).astype(np.float32)
+    t = rng.rand(4, 2).astype(np.float32)
+    m0 = QuanONet(**kw)
+    params = m0.init(jax.random.PRNGKey(0), jnp.asarray(b), jnp.asarray(t))
+    ideal = np.asarray(m0.apply(params, jnp.asarray(b), jnp.asarray(t)))
+
+    m_eq = QuanONet(**kw, damp_gamma=0.0, dephase_p=0.0, noise_traj=4)
+    out_eq = np.asarray(m_eq.apply(params, jnp.asarray(b), jnp.asarray(t),
+                                   rngs={'noise': KEY}))
+    np.testing.assert_allclose(out_eq, ideal, atol=1e-5)
+
+    m = QuanONet(**kw, damp_gamma=0.3, dephase_p=0.05, noise_traj=16)
+    p1 = predict(m, params, b, t, cfg={'model_type': 'QuanONet'},
+                 shot_seed=2)
+    p2 = predict(m, params, b, t, cfg={'model_type': 'QuanONet'},
+                 shot_seed=2)
+    np.testing.assert_array_equal(p1, p2)         # replayable
+    assert np.isfinite(p1).all()
+    assert not np.allclose(p1, ideal, atol=1e-3)  # channels act
+
+    m_bad = QuanONet(**kw, noise_p=0.1, damp_gamma=0.3,
+                     zne_scales=(1.0, 2.0), noise_traj=4)
+    with pytest.raises(ValueError, match='depolarizing'):
+        m_bad.apply(params, jnp.asarray(b), jnp.asarray(t),
+                    rngs={'noise': KEY})
