@@ -73,6 +73,16 @@ def main():
                    help="Per-qubit readout bit-flip prob for the noise "
                         "floor prediction")
     p.add_argument('--noise_traj', type=int, default=128)
+    p.add_argument('--t1_us', type=float, default=None,
+                   help="Calibration T1 (µs, from --profile): adds the "
+                        "amplitude-damping channel to the noise-floor "
+                        "prediction; needs --block_time_us")
+    p.add_argument('--t2_us', type=float, default=None,
+                   help="Calibration T2 (µs): adds pure dephasing; needs "
+                        "--block_time_us")
+    p.add_argument('--block_time_us', type=float, default=None,
+                   help="Hardware wall-time per HEA block (µs) for the "
+                        "T1/T2 -> per-block (γ, p_φ) conversion")
     args = p.parse_args()
 
     if not os.path.exists(args.weight_path):
@@ -130,25 +140,34 @@ def main():
     # (ops/noise.py + ops/mitigation.py): what the QPU job will score,
     # raw and ZNE-mitigated, before burning hardware time
     noise_floor = {}
-    if args.gate_error_2q is not None:
+    damp_gamma = dephase_p = None
+    if args.t1_us is not None or args.t2_us is not None:
+        if args.block_time_us is None:
+            p.error("--t1_us/--t2_us need --block_time_us")
+        from quanonet_tpu.ops.noise import channel_params_from_t1t2
+        g, pphi = channel_params_from_t1t2(
+            args.block_time_us, args.t1_us or 1e12, args.t2_us or 1e12)
+        damp_gamma = g if args.t1_us is not None else None
+        dephase_p = pphi if args.t2_us is not None else None
+        print(f"[T1/T2] block={args.block_time_us}us T1={args.t1_us}us "
+              f"T2={args.t2_us}us -> damp_gamma={damp_gamma} "
+              f"dephase_p={dephase_p}")
+    if args.gate_error_2q is not None or damp_gamma is not None \
+            or dephase_p is not None:
         from quanonet_tpu.ops.hea import quanonet_spec
         from quanonet_tpu.ops.noise import noise_p_from_calibration
         spec = quanonet_spec(num_qubits, tuple(net_size))
-        noise_p = noise_p_from_calibration(spec, args.gate_error_2q,
-                                           args.gate_error_1q)
+        noise_p = (noise_p_from_calibration(spec, args.gate_error_2q,
+                                            args.gate_error_1q)
+                   if args.gate_error_2q is not None else 0.0)
         noisy_pred = noisy_predictions(
             raw, net_size, num_qubits, branch_vec, trunk_vec, noise_p,
             ham_bound=args.ham_bound, readout_p=args.readout_error,
-            n_traj=args.noise_traj)
+            n_traj=args.noise_traj, damp_gamma=damp_gamma,
+            dephase_p=dephase_p)
         mn = evaluate(noisy_pred, true_solution)
-        zne_pred = noisy_predictions(
-            raw, net_size, num_qubits, branch_vec, trunk_vec, noise_p,
-            ham_bound=args.ham_bound, readout_p=args.readout_error,
-            n_traj=args.noise_traj, zne_scales=(1.0, 2.0))
-        mz = evaluate(zne_pred, true_solution)
-        print(f"[Noise floor @2q_err={args.gate_error_2q:g} -> "
-              f"p={noise_p:.4g}/block] Relative L2: {mn['rel_l2']:.2%} | "
-              f"ZNE(1,2)-mitigated: {mz['rel_l2']:.2%}")
+        print(f"[Noise floor @2q_err={args.gate_error_2q or 0:g} -> "
+              f"p={noise_p:.4g}/block] Relative L2: {mn['rel_l2']:.2%}")
         noise_floor = {
             'calibration_gate_error_2q': args.gate_error_2q,
             'calibration_gate_error_1q': args.gate_error_1q,
@@ -156,8 +175,26 @@ def main():
             'depolarizing_p_per_block': noise_p,
             'noise_traj': args.noise_traj,
             'predicted_noisy_rel_l2': float(mn['rel_l2']),
-            'predicted_zne_rel_l2': float(mz['rel_l2']),
         }
+        if damp_gamma is not None or dephase_p is not None:
+            noise_floor.update({
+                'calibration_t1_us': args.t1_us,
+                'calibration_t2_us': args.t2_us,
+                'block_time_us': args.block_time_us,
+                'damp_gamma_per_block': damp_gamma,
+                'dephase_p_per_block': dephase_p,
+            })
+        # ZNE-mitigated floor: Richardson extrapolation applies to the
+        # depolarizing channel only (scales noise_p), so it is predicted
+        # for the gate-error component alone
+        if noise_p and damp_gamma is None and dephase_p is None:
+            zne_pred = noisy_predictions(
+                raw, net_size, num_qubits, branch_vec, trunk_vec, noise_p,
+                ham_bound=args.ham_bound, readout_p=args.readout_error,
+                n_traj=args.noise_traj, zne_scales=(1.0, 2.0))
+            mz = evaluate(zne_pred, true_solution)
+            print(f"[Noise floor] ZNE(1,2)-mitigated: {mz['rel_l2']:.2%}")
+            noise_floor['predicted_zne_rel_l2'] = float(mz['rel_l2'])
 
     # gate-level export + self-verification
     os.makedirs(args.export_dir, exist_ok=True)

@@ -231,12 +231,15 @@ def shot_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
 
 def noisy_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
                       noise_p, ham_bound=(-5.0, 5.0), readout_p=0.0,
-                      n_traj=64, zne_scales=None, seed=0):
+                      n_traj=64, zne_scales=None, seed=0,
+                      damp_gamma=None, dephase_p=None):
     """Predictions under the calibrated depolarizing + readout channel
     (ops/noise.py) — the decoherence floor of a planned QPU job, optionally
     zero-noise-extrapolated (ops/mitigation.py, ``zne_scales=(1,2,3)``).
     Derive ``noise_p`` from backend calibration via
-    ops.noise.noise_p_from_calibration(spec, gate_error_2q).
+    ops.noise.noise_p_from_calibration(spec, gate_error_2q), and
+    ``damp_gamma``/``dephase_p`` (T1/T2 decoherence per block) via
+    ops.noise.channel_params_from_t1t2(block_time_us, t1_us, t2_us).
 
     Returns (n_points,) float64.  Complements shot_predictions: together
     they predict the full hardware error budget before submission.
@@ -257,7 +260,11 @@ def noisy_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
                      noise_p=float(noise_p), noise_traj=int(n_traj),
                      readout_p=float(readout_p),
                      zne_scales=(tuple(zne_scales) if zne_scales
-                                 else None))
+                                 else None),
+                     damp_gamma=(float(damp_gamma)
+                                 if damp_gamma is not None else None),
+                     dephase_p=(float(dephase_p)
+                                if dephase_p is not None else None))
     n_pts = len(trunk_points)
     b = jnp.asarray(np.tile(branch_vec, (n_pts, 1)).astype(np.float32))
     t = jnp.asarray(np.asarray(trunk_points, np.float32).reshape(-1, 1))
