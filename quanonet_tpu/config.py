@@ -121,6 +121,13 @@ def get_base_parser():
     parser.add_argument('--readout_p', type=float, default=None,
                         help='Per-qubit measurement bit-flip prob, applied '
                              'exactly inside the noisy forward')
+    parser.add_argument('--damp_gamma', type=float, default=None,
+                        help='Per-block T1 amplitude-damping γ for '
+                             'noise-aware training (MCWF trajectories, '
+                             'ops/noise.py); run ID gains a G suffix')
+    parser.add_argument('--dephase_p', type=float, default=None,
+                        help='Per-block T2 pure-dephasing Z-flip prob; '
+                             'run ID gains an F suffix')
     parser.add_argument('--save_state', type=str, default=None,
                         help="'true' => snapshot (epoch, params, opt_state, "
                              'best) to train_state.npz at every segment '

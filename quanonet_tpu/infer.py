@@ -36,9 +36,11 @@ _DATA_RE = re.compile(r'_(\d+)x(\d+)_Seed')
 _PAULI_RE = re.compile(r'_Pauli([XYZ])')
 _DIAG_RE = re.compile(r'_Diag([^_]+)')
 _HAM_RE = re.compile(r'_Ham([^_]+)')
-# noise-aware-training suffix (logger.py: _Noise{p}[R{readout_p}]) — the
-# channel is part of the training objective, so evaluation reproduces it
-_NOISE_RE = re.compile(r'_Noise([0-9.eE+-]+?)(?:R([0-9.eE+-]+))?(?=_|$)')
+# noise-aware-training suffix (logger.py:
+# _Noise{p}[R{readout_p}][G{damp_gamma}][F{dephase_p}]) — the channel is
+# part of the training objective, so evaluation reproduces it
+_NOISE_RE = re.compile(r'_Noise([0-9.eE+-]+?)(?:R([0-9.eE+-]+?))?'
+                       r'(?:G([0-9.eE+-]+?))?(?:F([0-9.eE+-]+))?(?=_|$)')
 _NUM_RE = re.compile(r'-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?')
 
 
@@ -125,6 +127,10 @@ def _parse_path(ckpt_path: str) -> dict:
             cfg['noise_p'] = p if p > 0 else None
             if m.group(2):
                 cfg['readout_p'] = float(m.group(2))
+            if m.group(3):
+                cfg['damp_gamma'] = float(m.group(3))
+            if m.group(4):
+                cfg['dephase_p'] = float(m.group(4))
         except ValueError:
             pass
     return cfg

@@ -93,10 +93,16 @@ def get_experiment_id(config):
         # through infer._parse_path like _Pauli/_Ham/_Diag do)
         noise = config.get('noise_p')
         ro = config.get('readout_p')
-        if noise or ro:
+        dg = config.get('damp_gamma')
+        dp = config.get('dephase_p')
+        if noise or ro or dg or dp:
             exp_id += f"_Noise{noise or 0}"
             if ro:
                 exp_id += f"R{ro}"
+            if dg:                       # T1 amplitude damping per block
+                exp_id += f"G{dg}"
+            if dp:                       # T2 pure dephasing per block
+                exp_id += f"F{dp}"
 
     # Backend suffix: kept for dirname compat. The JAX engine is the default
     # here, so only the legacy names get suffixes (mirrors utils/logger.py:104-113

@@ -113,7 +113,8 @@ def train_multi_seed(config):
     seeds = list(config['multi_seed'])
     n_seeds = len(seeds)
     prefix = config.get('prefix') or "outputs"
-    if config.get('noise_p') is not None or config.get('readout_p'):
+    if (config.get('noise_p') is not None or config.get('readout_p')
+            or config.get('damp_gamma') or config.get('dephase_p')):
         # noise-aware training threads a 'noise' rng per optimizer step;
         # the vmapped multi-seed epoch doesn't carry per-seed rng streams,
         # so run the reference's per-process semantics instead

@@ -127,12 +127,17 @@ def build_model(config, data):
     # training (the gradient averages over them AND the batch, so few are
     # needed) vs 32 at inference
     noise_kw = {}
-    if config.get('noise_p') is not None or config.get('readout_p'):
+    if (config.get('noise_p') is not None or config.get('readout_p')
+            or config.get('damp_gamma') or config.get('dephase_p')):
         noise_kw = dict(
             noise_p=(float(config['noise_p'])
                      if config.get('noise_p') is not None else None),
             noise_traj=int(config.get('noise_traj') or 8),
-            readout_p=float(config.get('readout_p') or 0.0))
+            readout_p=float(config.get('readout_p') or 0.0),
+            damp_gamma=(float(config['damp_gamma'])
+                        if config.get('damp_gamma') else None),
+            dephase_p=(float(config['dephase_p'])
+                       if config.get('dephase_p') else None))
 
     if model_type == 'QuanONet':
         ns = tuple(net_size or (20, 2, 10, 2))
@@ -154,8 +159,8 @@ def build_model(config, data):
                        ham_pauli=ham_pauli, engine=engine, **noise_kw)
         return model, 'single'
     if noise_kw:
-        raise ValueError(f"--noise_p/--readout_p apply to quantum models "
-                         f"only, not {model_type}")
+        raise ValueError(f"--noise_p/--readout_p/--damp_gamma/--dephase_p "
+                         f"apply to quantum models only, not {model_type}")
     if model_type == 'DeepONet':
         branch_in = data['train_branch_input'].shape[1]
         trunk_in = data['train_trunk_input'].shape[1]
@@ -355,7 +360,9 @@ class Solver:
         """Model forward is stochastic (noise-aware training, ops/noise.py)
         and needs a 'noise' rng on every apply."""
         return getattr(self.model, 'noise_p', None) is not None or \
-            bool(getattr(self.model, 'readout_p', 0.0))
+            bool(getattr(self.model, 'readout_p', 0.0)) or \
+            getattr(self.model, 'damp_gamma', None) is not None or \
+            getattr(self.model, 'dephase_p', None) is not None
 
     def _init_params(self):
         key = jax.random.PRNGKey(self.config.get('seed', 0))
@@ -416,9 +423,9 @@ class Solver:
         if n_devices > 1:
             if self._noisy:
                 raise ValueError(
-                    "noise-aware training (--noise_p/--readout_p) is "
-                    "single-device for now; drop --num_devices or the "
-                    "noise flags")
+                    "noise-aware training (--noise_p/--readout_p/"
+                    "--damp_gamma/--dephase_p) is single-device for now; "
+                    "drop --num_devices or the noise flags")
             # SPMD data parallelism over a 'data' mesh axis: training-set
             # shards per device, psum'd global loss/grads
             from quanonet_tpu.parallel import make_mesh

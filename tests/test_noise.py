@@ -410,3 +410,67 @@ def test_model_t1t2_integration():
     with pytest.raises(ValueError, match='depolarizing'):
         m_bad.apply(params, jnp.asarray(b), jnp.asarray(t),
                     rngs={'noise': KEY})
+
+
+def test_t1t2_runid_roundtrip():
+    """_Noise{p}[R][G][F] suffix: logger writes damp/dephase components,
+    infer._parse_path recovers them (the run-ID contract for T1/T2
+    noise-aware training)."""
+    from quanonet_tpu.infer import _parse_path
+    from quanonet_tpu.logger import get_experiment_id
+
+    cfg = dict(operator='Antideriv', model_type='QuanONet',
+               net_size=[2, 1, 2, 1], num_qubits=2, scale_coeff=0.01,
+               if_trainable_freq='true', num_train=20, num_points=50,
+               seed=0, noise_p=0.05, readout_p=0.01, damp_gamma=0.02,
+               dephase_p=0.004)
+    eid = get_experiment_id(cfg)
+    assert '_Noise0.05R0.01G0.02F0.004' in eid
+    parsed = _parse_path(f'/x/{eid}/best_model.npz')
+    assert parsed['noise_p'] == 0.05 and parsed['readout_p'] == 0.01
+    assert parsed['damp_gamma'] == 0.02 and parsed['dephase_p'] == 0.004
+
+    # damping-only (no depolarizing): p encodes as 0 -> parsed None
+    cfg2 = dict(cfg, noise_p=None, readout_p=None, dephase_p=None)
+    eid2 = get_experiment_id(cfg2)
+    assert '_Noise0G0.02' in eid2
+    parsed2 = _parse_path(f'/x/{eid2}/best_model.npz')
+    assert parsed2['noise_p'] is None and parsed2['damp_gamma'] == 0.02
+    assert 'dephase_p' not in parsed2
+
+    # legacy suffix still parses
+    parsed3 = _parse_path('/x/A_QuanONet_Net2-1-2-1_Q2_TF_S0.01_'
+                          'Noise0.05R0.01_20x50_Seed0/best_model.npz')
+    assert parsed3['noise_p'] == 0.05 and parsed3['readout_p'] == 0.01
+    assert 'damp_gamma' not in parsed3
+
+
+def test_t1t2_training_end_to_end(tmp_path, monkeypatch):
+    """Solver trains THROUGH the T1/T2 channel (MCWF trajectories are
+    differentiable almost everywhere, like dropout): loss decreases,
+    run dir carries the G/F suffix, artifacts written."""
+    import os
+    import quanonet_tpu.data.generation as gen
+    from quanonet_tpu.solver import Solver
+    monkeypatch.setattr(gen, 'DATA_ROOT', str(tmp_path / 'raw'))
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(0)
+
+    cfg = dict(operator='Antideriv', model_type='QuanONet',
+               num_train=20, num_test=10, num_points=50, num_points_0=10,
+               train_sample_num=5, test_sample_num=10,
+               batch_size=25, num_epochs=8, learning_rate=0.01,
+               num_qubits=2, net_size=[2, 1, 2, 1],
+               scale_coeff=0.01, if_trainable_freq='true',
+               ham_bound=[-5, 5], ham_pauli='Z', seed=0,
+               prefix='outputs', damp_gamma=0.02, dephase_p=0.005,
+               noise_traj=2)
+    solver = Solver(cfg)
+    assert '_Noise0G0.02F0.005' in solver.run_id
+    history = solver.train()
+    metrics = solver.evaluate(history)
+    assert np.isfinite(metrics['rel_l2'])
+    losses = history['loss_train']
+    assert len(losses) == 8 and losses[-1] < losses[0]
+    assert os.path.exists(os.path.join(solver.exp_logger.exp_dir,
+                                       'metric.json'))
