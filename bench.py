@@ -429,7 +429,7 @@ def main():
         f"(measured anchor {anchor:.4f}; "
         f"worst-run beats anchor: {rel_worst < anchor})")
 
-    print(json.dumps({
+    result = {
         "metric": "quanonet_q5_advection_train_samples_per_sec_per_chip",
         "value": round(sps, 1),
         "unit": "samples/sec",
@@ -462,7 +462,26 @@ def main():
         "model_tflops_per_sec": (round(model_tflops, 4)
                                  if model_tflops is not None else None),
         "mfu_pct": round(mfu * 100, 4) if mfu is not None else None,
-    }))
+    }
+    # Persist each genuine-TPU result so a later wedged-tunnel fallback
+    # run can still surface the last measured hardware numbers (clearly
+    # labeled — the top-level fields stay honest about the CPU fallback).
+    last_tpu_path = os.path.join(REPO, 'docs', 'last_tpu_bench.json')
+    if platform == 'tpu' and not tpu_unreachable:
+        try:
+            tmp = last_tpu_path + '.tmp'
+            with open(tmp, 'w') as f:
+                json.dump(dict(result, recorded_unix=time.time()), f)
+            os.replace(tmp, last_tpu_path)
+        except OSError as e:
+            log(f"could not persist last-TPU result: {e}")
+    elif tpu_unreachable and os.path.exists(last_tpu_path):
+        try:
+            with open(last_tpu_path) as f:
+                result["last_tpu_result"] = json.load(f)
+        except (OSError, ValueError) as e:
+            log(f"could not read last-TPU result: {e}")
+    print(json.dumps(result))
 
 
 if __name__ == '__main__':
