@@ -128,6 +128,22 @@ def get_base_parser():
     parser.add_argument('--dephase_p', type=float, default=None,
                         help='Per-block T2 pure-dephasing Z-flip prob; '
                              'run ID gains an F suffix')
+    parser.add_argument('--grad_method', type=str, default=None,
+                        choices=['autodiff', 'shift', 'spsa'],
+                        help='Gradient source: autodiff (default), shift = '
+                             'exact parameter-shift VJP (hardware-'
+                             'compatible, ops/param_shift.py), spsa = '
+                             '2-evaluation simultaneous-perturbation')
+    parser.add_argument('--train_shots', type=int, default=None,
+                        help='Finite-shot TRAINING: every expectation in '
+                             'the loss is sampled with this many shots '
+                             '(requires --grad_method shift or spsa; '
+                             'autodiff cannot differentiate sampling)')
+    parser.add_argument('--ps_chunk', type=int, default=None,
+                        help='Bound the parameter-shift fan-out: shifted '
+                             'evaluations run in chunks of this size')
+    parser.add_argument('--spsa_c', type=float, default=None,
+                        help='SPSA perturbation size (default 0.05)')
     parser.add_argument('--save_state', type=str, default=None,
                         help="'true' => snapshot (epoch, params, opt_state, "
                              'best) to train_state.npz at every segment '

@@ -42,6 +42,11 @@ _HAM_RE = re.compile(r'_Ham([^_]+)')
 _NOISE_RE = re.compile(r'_Noise([0-9.eE+-]+?)(?:R([0-9.eE+-]+?))?'
                        r'(?:G([0-9.eE+-]+?))?(?:F([0-9.eE+-]+))?(?=_|$)')
 _NUM_RE = re.compile(r'-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?')
+# _Shift[Sh{N}] / _Spsa[C{c}][Sh{N}] — QPU-trainable gradient runs
+# (ops/param_shift.py).  Recorded for provenance; the inference forward
+# is the same ideal circuit, so these do NOT change the rebuilt model.
+_GRAD_RE = re.compile(r'_(Shift|Spsa)(?:C([0-9.eE+-]+?))?(?:Sh(\d+))?'
+                      r'(?=_|$)')
 
 
 def _parse_joined_floats(s):
@@ -133,6 +138,13 @@ def _parse_path(ckpt_path: str) -> dict:
                 cfg['dephase_p'] = float(m.group(4))
         except ValueError:
             pass
+    m = _GRAD_RE.search(name)
+    if m:
+        cfg['grad_method'] = m.group(1).lower()
+        if m.group(2):
+            cfg['spsa_c'] = float(m.group(2))
+        if m.group(3):
+            cfg['train_shots'] = int(m.group(3))
     return cfg
 
 

@@ -103,6 +103,18 @@ def get_experiment_id(config):
                 exp_id += f"G{dg}"
             if dp:                       # T2 pure dephasing per block
                 exp_id += f"F{dp}"
+        # QPU-trainable gradients (ops/param_shift.py): the estimator is
+        # part of the experiment identity (shift = exact shift-rule VJP,
+        # spsa = 2-eval perturbation; Sh = finite-shot sampled loss)
+        gm = str(config.get('grad_method') or 'autodiff')
+        tsh = config.get('train_shots')
+        if gm != 'autodiff' or tsh:
+            exp_id += '_' + ('Shift' if gm == 'shift'
+                             else 'Spsa' if gm == 'spsa' else 'Shot')
+            if gm == 'spsa' and config.get('spsa_c'):
+                exp_id += f"C{config['spsa_c']}"
+            if tsh:
+                exp_id += f"Sh{int(tsh)}"
 
     # Backend suffix: kept for dirname compat. The JAX engine is the default
     # here, so only the legacy names get suffixes (mirrors utils/logger.py:104-113

@@ -37,9 +37,32 @@ from quanonet_tpu.ops.hea import (
 def _measure(spec, ansatz, x, ham_bound, ham_diag, ham_pauli, engine,
              shots=None, shot_key=None,
              noise_p=None, noise_traj=32, readout_p=0.0, noise_key=None,
-             zne_scales=None, damp_gamma=None, dephase_p=None):
+             zne_scales=None, damp_gamma=None, dephase_p=None,
+             grad_method='autodiff', ps_chunk=None):
     decohere = damp_gamma is not None or dephase_p is not None
     noisy = noise_p is not None or readout_p or decohere
+    if grad_method == 'shift':
+        # hardware-compatible gradients (ops/param_shift.py): the
+        # expectation's VJP is the exact two-point shift rule for the
+        # ansatz AND the encode inputs — with shots, each shifted
+        # evaluation is finite-shot sampled, so the model TRAINS under
+        # QPU-style readout (autodiff cannot differentiate multinomial)
+        if noisy or zne_scales:
+            raise ValueError(
+                "grad_method='shift' assumes a unitary circuit; drop the "
+                "noise/zne flags (noise-aware training uses autodiff)")
+        from quanonet_tpu.ops.param_shift import make_ps_expectation
+        if ham_pauli == 'Z' or ham_diag is not None:
+            kw = dict(diag=jnp.asarray(resolve_ham_diag(
+                spec.n_qubits, list(ham_bound),
+                list(ham_diag) if ham_diag is not None else None)))
+        else:
+            offset, coeff = simple_ham_params(
+                spec.n_qubits, ham_bound[0], ham_bound[1])
+            kw = dict(pauli=ham_pauli, offset=offset, coeff=coeff)
+        f = make_ps_expectation(spec, engine=engine, shots=shots,
+                                chunk=ps_chunk, **kw)
+        return f(ansatz, x, shot_key) if shots else f(ansatz, x)
     if zne_scales:
         # zero-noise extrapolation (ops/mitigation.py): CRN trajectories
         # evaluate every scale in one program; replaces the plain noisy path
@@ -125,6 +148,11 @@ class QuanONet(nn.Module):
     # derive both from calibration via channel_params_from_t1t2.
     damp_gamma: Optional[float] = None
     dephase_p: Optional[float] = None
+    # 'autodiff' (default) or 'shift': hardware-compatible shift-rule
+    # gradients (ops/param_shift.py); composes with `shots` for genuine
+    # finite-shot training.  ps_chunk bounds the shift fan-out per step.
+    grad_method: str = 'autodiff'
+    ps_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, branch_input, trunk_input):
@@ -166,7 +194,8 @@ class QuanONet(nn.Module):
                        readout_p=self.readout_p, noise_key=noise_key,
                        zne_scales=self.zne_scales,
                        damp_gamma=self.damp_gamma,
-                       dephase_p=self.dephase_p)
+                       dephase_p=self.dephase_p,
+                       grad_method=self.grad_method, ps_chunk=self.ps_chunk)
         return out + bias
 
 
@@ -189,6 +218,8 @@ class HEAQNN(nn.Module):
     zne_scales: Optional[Tuple[float, ...]] = None  # ZNE (see QuanONet)
     damp_gamma: Optional[float] = None  # T1/T2 channels (see QuanONet)
     dephase_p: Optional[float] = None
+    grad_method: str = 'autodiff'  # 'shift' = shift-rule VJP (see QuanONet)
+    ps_chunk: Optional[int] = None
 
     @nn.compact
     def __call__(self, x):
@@ -218,4 +249,6 @@ class HEAQNN(nn.Module):
                         readout_p=self.readout_p, noise_key=noise_key,
                         zne_scales=self.zne_scales,
                         damp_gamma=self.damp_gamma,
-                        dephase_p=self.dephase_p)
+                        dephase_p=self.dephase_p,
+                        grad_method=self.grad_method,
+                        ps_chunk=self.ps_chunk)

@@ -139,6 +139,24 @@ def build_model(config, data):
             dephase_p=(float(config['dephase_p'])
                        if config.get('dephase_p') else None))
 
+    # QPU-trainable gradients (ops/param_shift.py): shift-rule VJP and/or
+    # finite-shot sampled expectations in the training loss
+    gm = str(config.get('grad_method') or 'autodiff')
+    train_shots = config.get('train_shots')
+    if train_shots and gm == 'autodiff':
+        raise ValueError("--train_shots needs --grad_method shift or spsa "
+                         "(autodiff cannot differentiate sampling)")
+    if gm == 'shift':
+        noise_kw['grad_method'] = 'shift'
+        if config.get('ps_chunk'):
+            noise_kw['ps_chunk'] = int(config['ps_chunk'])
+    if train_shots:
+        noise_kw['shots'] = int(train_shots)
+    if (gm != 'autodiff' or train_shots) and model_type not in (
+            'QuanONet', 'HEAQNN'):
+        raise ValueError(f"--grad_method/--train_shots apply to quantum "
+                         f"models only, not {model_type}")
+
     if model_type == 'QuanONet':
         ns = tuple(net_size or (20, 2, 10, 2))
         branch_in = data['train_branch_input'].shape[1]
@@ -213,7 +231,8 @@ def build_optimizer(config, total_steps):
 
 
 def make_train_epoch(model_apply, optimizer, num_samples, batch_size,
-                     per_sample, noise_rng=False):
+                     per_sample, noise_rng=False, rng_collection=None,
+                     spsa_c=None):
     """One training epoch as a pure function:
     ((params, opt_state), key, inputs, outputs) -> ((params, opt_state),
     (avg_loss, sse)).  Static-shape masked ragged batches reproduce the
@@ -225,22 +244,31 @@ def make_train_epoch(model_apply, optimizer, num_samples, batch_size,
     from the epoch key, so each step resamples its Pauli trajectories
     (stochastic-gradient semantics over the channel, like dropout).  The
     default path is byte-identical to before the flag existed: the epoch
-    key is used directly for the shuffle."""
+    key is used directly for the shuffle.
+
+    rng_collection: thread per-step rngs under this flax collection name
+    instead of 'noise' (e.g. 'shots' for finite-shot training through the
+    shift-rule VJP, ops/param_shift.py).  spsa_c: replace value_and_grad
+    with the 2-evaluation SPSA estimator at this perturbation size (the
+    step rng drives the Rademacher draw; with a collection set, the model
+    rng is derived from the same step rng)."""
     num_batches = max(1, int(np.ceil(num_samples / batch_size)))
     padded = num_batches * batch_size
+    collection = 'noise' if noise_rng else rng_collection
+    stochastic = bool(collection) or spsa_c is not None
 
     def batch_loss(p, batch_in, batch_out, mask, rng):
         if rng is None:
             pred = model_apply(p, *batch_in)
         else:
-            pred = model_apply(p, *batch_in, rngs={'noise': rng})
+            pred = model_apply(p, *batch_in, rngs={collection: rng})
         m = mask.reshape(mask.shape + (1,) * (pred.ndim - 1))
         sq = (pred - batch_out) ** 2 * m
         return jnp.sum(sq) / jnp.maximum(jnp.sum(mask) * per_sample, 1.0)
 
     def train_epoch(carry, key, inputs, outputs):
         params, opt_state = carry
-        if noise_rng:
+        if stochastic:
             key, knoise = jax.random.split(key)
             step_rngs = jax.random.split(knoise, num_batches)
         perm = jax.random.permutation(key, num_samples)
@@ -249,18 +277,27 @@ def make_train_epoch(model_apply, optimizer, num_samples, batch_size,
         mask_flat = (jnp.arange(padded) < num_samples).astype(jnp.float32)
         idx = pad_idx.reshape(num_batches, batch_size)
         masks = mask_flat.reshape(num_batches, batch_size)
-        xs = (idx, masks, step_rngs) if noise_rng else (idx, masks)
+        xs = (idx, masks, step_rngs) if stochastic else (idx, masks)
 
         def step(carry, b):
             params, opt_state = carry
-            if noise_rng:
+            if stochastic:
                 bi, bm, rng = b
             else:
                 (bi, bm), rng = b, None
             batch_in = tuple(a[bi] for a in inputs)
             batch_out = outputs[bi]
-            loss, grads = jax.value_and_grad(batch_loss)(
-                params, batch_in, batch_out, bm, rng)
+            if spsa_c is not None:
+                from quanonet_tpu.ops.param_shift import spsa_gradient
+                model_rng = (jax.random.fold_in(rng, 1)
+                             if collection else None)
+                grads, loss = spsa_gradient(
+                    lambda p: batch_loss(p, batch_in, batch_out, bm,
+                                         model_rng),
+                    params, jax.random.fold_in(rng, 0), c=spsa_c)
+            else:
+                loss, grads = jax.value_and_grad(batch_loss)(
+                    params, batch_in, batch_out, bm, rng)
             if hasattr(optimizer, 'fused_step'):
                 # one-kernel Adam (ops/pallas_adam.py) — same update
                 # rule, ~20 tiny XLA ops fewer per step
@@ -364,20 +401,33 @@ class Solver:
             getattr(self.model, 'damp_gamma', None) is not None or \
             getattr(self.model, 'dephase_p', None) is not None
 
+    @property
+    def _rng_collection(self):
+        """Flax rng collection the model draws per apply, or None.
+        'noise' for noise-aware training; 'shots' for finite-shot
+        training (--train_shots, sampled readout in the loss)."""
+        if self._noisy:
+            return 'noise'
+        if getattr(self.model, 'shots', None):
+            return 'shots'
+        return None
+
     def _init_params(self):
         key = jax.random.PRNGKey(self.config.get('seed', 0))
         dummies = tuple(jnp.asarray(a[:1]) for a in self.train_inputs)
-        if self._noisy:
+        col = self._rng_collection
+        if col:
             return self.model.init(
-                {'params': key, 'noise': jax.random.fold_in(key, 1)},
+                {'params': key, col: jax.random.fold_in(key, 1)},
                 *dummies)
         return self.model.init(key, *dummies)
 
     def _apply(self, params, *inputs):
-        if self._noisy:
+        col = self._rng_collection
+        if col:
             return self.model.apply(
                 params, *inputs,
-                rngs={'noise': jax.random.PRNGKey(
+                rngs={col: jax.random.PRNGKey(
                     self.config.get('seed', 0) or 0)})
         return self.model.apply(params, *inputs)
 
@@ -419,6 +469,9 @@ class Solver:
         out_norm_sq = float(np.sum(self.train_output.astype(np.float64) ** 2))
         per_sample = int(np.prod(self.train_output.shape[1:]))
 
+        gm = str(config.get('grad_method') or 'autodiff')
+        spsa_c = (float(config.get('spsa_c') or 0.05)
+                  if gm == 'spsa' else None)
         n_devices = int(config.get('num_devices') or 1)
         if n_devices > 1:
             if self._noisy:
@@ -426,6 +479,10 @@ class Solver:
                     "noise-aware training (--noise_p/--readout_p/"
                     "--damp_gamma/--dephase_p) is single-device for now; "
                     "drop --num_devices or the noise flags")
+            if gm != 'autodiff' or self._rng_collection:
+                raise ValueError(
+                    "--grad_method shift/spsa and --train_shots are "
+                    "single-device for now; drop --num_devices")
             # SPMD data parallelism over a 'data' mesh axis: training-set
             # shards per device, psum'd global loss/grads
             from quanonet_tpu.parallel import make_mesh
@@ -453,10 +510,12 @@ class Solver:
         else:
             inputs = tuple(jnp.asarray(a) for a in self.train_inputs)
             outputs = jnp.asarray(self.train_output)
-            train_epoch = make_train_epoch(self.model.apply, optimizer,
-                                           num_samples, batch_size,
-                                           per_sample,
-                                           noise_rng=self._noisy)
+            train_epoch = make_train_epoch(
+                self.model.apply, optimizer, num_samples, batch_size,
+                per_sample, noise_rng=self._noisy,
+                rng_collection=(None if self._noisy
+                                else self._rng_collection),
+                spsa_c=spsa_c)
             run_segment = make_run_segment(train_epoch)
             _commit_restored = None
 
@@ -607,12 +666,14 @@ class Solver:
         # thousands of dispatches over the TPU tunnel)
         batch_size = max(self.config.get('batch_size', 100), 4096)
         n = self.test_output.shape[0]
-        if self._noisy:
-            # evaluate under the SAME channel the model was trained
-            # against (replayable: keyed off the run seed per chunk)
+        col = self._rng_collection
+        if col:
+            # evaluate under the SAME channel/readout the model was
+            # trained against (replayable: keyed off the run seed per
+            # chunk)
             ekey = jax.random.PRNGKey(self.config.get('seed', 0) or 0)
             fwd = jax.jit(lambda k, *inp: self.model.apply(
-                params, *inp, rngs={'noise': k}))
+                params, *inp, rngs={col: k}))
         else:
             fwd = jax.jit(lambda *inp: self.model.apply(params, *inp))
 
@@ -640,7 +701,7 @@ class Solver:
                               for b in batch)
             else:
                 batch = tuple(jnp.asarray(b) for b in batch)
-            if self._noisy:
+            if col:
                 preds.append(np.asarray(
                     fwd(jax.random.fold_in(ekey, s), *batch))[:real])
             else:
