@@ -13,8 +13,12 @@ import subprocess
 
 import numpy as np
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), 'native')
+# source-checkout default is <repo>/native; a pip-installed package points
+# QUANONET_NATIVE_DIR at a checkout (or anywhere the Makefile+.so live) —
+# otherwise the loader degrades to the pure-Python/device generators.
+_NATIVE_DIR = os.environ.get('QUANONET_NATIVE_DIR') or os.path.join(
+    os.path.dirname(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))), 'native')
 _SO_PATH = os.path.join(_NATIVE_DIR, 'libquanonet_native.so')
 
 ODE_KIND = {'Identity': 0, 'Antideriv': 1, 'Homogeneous': 2, 'Nonlinear': 3}
