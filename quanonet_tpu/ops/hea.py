@@ -53,6 +53,14 @@ from quanonet_tpu.ops.gates import (
 
 DENSE_MAX_QUBITS = 11  # beyond this, 4^n block unitaries stop paying off
 
+# A/B knob for the expectation-dot precision pin (see
+# diag_expectation_pair): QON_UNPIN_EXPECT=1 drops that one dot back to
+# the backend default (bf16 on TPU) while keeping the quality-critical
+# phases pin.  Experiment-only — the shipped default keeps both pins.
+import os as _os
+_EXPECT_PRECISION = (None if _os.environ.get('QON_UNPIN_EXPECT') == '1'
+                     else jax.lax.Precision.HIGHEST)
+
 
 @dataclass(frozen=True)
 class HEASpec:
@@ -372,7 +380,7 @@ def diag_expectation_pair(sr, si, diag):
     every loss gradient).  One tiny matvec per batch — pin it."""
     probs = sr * sr + si * si
     return jnp.einsum('bd,d->b', probs, diag.astype(probs.dtype),
-                      precision=jax.lax.Precision.HIGHEST)[:, None]
+                      precision=_EXPECT_PRECISION)[:, None]
 
 
 def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):

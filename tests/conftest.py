@@ -17,6 +17,14 @@ import jax
 # The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU here.
 jax.config.update("jax_platforms", "cpu")
 
+# Suite wall time on this single-core box IS XLA compile time; persist
+# compiled programs so repeat runs skip them.  Test-specific dir (NOT the
+# shared .jax_cache) so no cross-platform/TPU entries ever load here.
+jax.config.update("jax_compilation_cache_dir", os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    ".jax_cache_tests"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 
