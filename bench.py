@@ -371,6 +371,23 @@ def main():
                 log(f"timed (per-segment sum): {epochs - seg} epochs x "
                     f"{n} samples in {tsum:.2f}s => {sps:,.0f} "
                     f"samples/sec")
+            elif run == 0:
+                # single-segment regime: the only real segment paid the
+                # compile, so time a throwaway replay of the compiled
+                # program from a fresh init (same trick as the default
+                # mode) instead of leaving sps unset
+                p2 = model.init(seed_key, branch[:1], trunk[:1])
+                o2 = optimizer.init(p2)
+                b2 = jnp.asarray(np.inf, jnp.float32)
+                t0 = time.time()
+                _p, _o, b2, _bp, _h = run_segment(p2, o2, b2, p2,
+                                                  seg_keys[0], inputs,
+                                                  target)
+                _sync = float(b2)
+                dt = time.time() - t0
+                sps = seg * n / dt
+                log(f"timed (single-segment replay): {seg} epochs x {n} "
+                    f"samples in {dt:.2f}s => {sps:,.0f} samples/sec")
             first = next((e for e, r in track if r < anchor), None)
             log(f"run {run}: first epoch beating anchor "
                 f"({anchor:.4f}): {first}; trajectory "

@@ -340,7 +340,12 @@ def main():
     # Probe it in a killable subprocess first; if unreachable, run the
     # gate on CPU (Pallas interpreted — still checks numerics, not
     # Mosaic) rather than hanging.  Same pattern as bench.py.
-    if '--cpu' not in sys.argv and os.environ.get('JAX_PLATFORMS') != 'cpu':
+    if '--cpu' not in sys.argv and os.environ.get('JAX_PLATFORMS') == 'cpu':
+        # The axon plugin IGNORES the JAX_PLATFORMS env var (CLAUDE.md) —
+        # honor the user's stated intent via the config update below,
+        # which is the forcing that actually works.
+        sys.argv.append('--cpu')
+    if '--cpu' not in sys.argv:
         import subprocess
         probe_s = int(os.environ.get('BENCH_TPU_PROBE_TIMEOUT', '300'))
         try:

@@ -230,7 +230,50 @@ def noise_main():
     return 0
 
 
+def t1t2_main():
+    """T1/T2 decoherence-study trend checks (docs/noise_robustness_t1t2.csv,
+    scripts/noise_robustness_study.py --t1t2): same claims as noise_main
+    but over the (damp_gamma, dephase_p) channel pairs."""
+    rows = []
+    with open(PATH) as f:
+        for row in csv.DictReader(f):
+            rows.append((row['trained'],
+                         (float(row['eval_damp_gamma']),
+                          float(row['eval_dephase_p'])),
+                         float(row['rel_l2'])))
+
+    def val(trained, ch):
+        return next((v for t, c, v in rows if t == trained and c == ch),
+                    None)
+    chans = sorted({c for t, c, _ in rows if c != (0.0, 0.0)})
+    if not chans or val('ideal', (0.0, 0.0)) is None:
+        print("SKIP t1t2 checks (csv not populated)")
+        return 0
+    failures = []
+
+    def check(name, ok):
+        print(f"  {'PASS' if ok else 'FAIL'} {name}")
+        if not ok:
+            failures.append(name)
+
+    check("ideal-trained wins on the decoherence-free simulator",
+          val('ideal', (0.0, 0.0)) < val('noise_aware', (0.0, 0.0)))
+    for ch in chans:
+        check(f"noise-trained wins under eval channel γ={ch[0]:g} "
+              f"pφ={ch[1]:g}",
+              val('noise_aware', ch) < val('ideal', ch))
+    ideal_curve = [val('ideal', c) for c in [(0.0, 0.0)] + chans]
+    check("ideal-trained degrades monotonically with decoherence",
+          all(a < b for a, b in zip(ideal_curve, ideal_curve[1:])))
+    if failures:
+        print("FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("t1t2 decoherence trends reproduce ✓")
+    return 0
+
+
 if __name__ == '__main__':
     sys.exit(circuit_main() if 'circuit' in PATH
              else capacity_main() if 'capacity' in PATH
+             else t1t2_main() if 't1t2' in PATH
              else noise_main() if 'noise' in PATH else main())
