@@ -20,10 +20,10 @@ error — can be predicted on the simulator before submission:
 * readout error — a classical per-qubit bit-flip channel on the measured
   distribution, applied EXACTLY (kron of 2x2 binary-symmetric channels as
   n in-place butterflies on the probability vector), no sampling needed.
-* finite shots — optional; each trajectory's expectation is estimated
-  from ``shots // n_traj`` multinomial draws (ops/sampling.py), which is
-  precisely what the hardware does: every shot rides one noise
-  realization.
+* finite shots — optional; the TOTAL budget is spent exactly
+  (floor(shots/n_traj) or one more multinomial draw per trajectory,
+  pooled-count estimator — ops/sampling.py), which is precisely what
+  the hardware does: every shot rides one noise realization.
 
 TPU-native mechanics: every sampled Pauli is applied as X^a·Z^b (Y = i·XZ;
 the global phase cancels in expectations), i.e. one static-shape sign
