@@ -272,8 +272,48 @@ def t1t2_main():
     return 0
 
 
+def hardware_main():
+    """Hardware-trainability study trend checks
+    (docs/hardware_training.csv, scripts/hardware_training_study.py)."""
+    rows = {}
+    with open(PATH) as f:
+        for row in csv.DictReader(f):
+            rows[row['method']] = float(row['rel_l2'])
+    if 'autodiff' not in rows:
+        print("SKIP hardware checks (csv not populated)")
+        return 0
+    failures = []
+
+    def check(name, ok):
+        print(f"  {'PASS' if ok else 'FAIL'} {name}")
+        if not ok:
+            failures.append(name)
+
+    check("exact shift rule matches autodiff (10% rel)",
+          abs(rows['shift'] - rows['autodiff'])
+          <= 0.10 * rows['autodiff'])
+    if 'shift@256' in rows and 'shift@8192' in rows:
+        check("shift quality improves with shot budget",
+              rows['shift@8192'] < rows['shift@256'])
+        check("finite-shot shift approaches the exact rule",
+              rows['shift@8192'] <= 1.5 * rows['shift'])
+    if 'spsa' in rows and 'spsa_10x' in rows:
+        check("SPSA improves with epoch budget",
+              rows['spsa_10x'] < rows['spsa'])
+    if 'spsa_10x' in rows and 'spsa@1024' in rows:
+        check("SPSA is shot-noise tolerant (1024-shot ≈ exact, 10% rel)",
+              abs(rows['spsa@1024'] - rows['spsa_10x'])
+              <= 0.10 * rows['spsa_10x'])
+    if failures:
+        print("FAILURES:", *failures, sep="\n  ")
+        return 1
+    print("hardware-trainability trends reproduce ✓")
+    return 0
+
+
 if __name__ == '__main__':
     sys.exit(circuit_main() if 'circuit' in PATH
              else capacity_main() if 'capacity' in PATH
              else t1t2_main() if 't1t2' in PATH
-             else noise_main() if 'noise' in PATH else main())
+             else noise_main() if 'noise' in PATH
+             else hardware_main() if 'hardware' in PATH else main())

@@ -110,13 +110,18 @@ def main():
             ('shift', dict(grad_method='shift')),
             ('spsa', dict(grad_method='spsa'))]
     if not args.quick:
+        # run-IDs do not encode num_epochs (reference contract), so arms
+        # that differ ONLY by epochs need their own prefix or the second
+        # one resume-skips into the first's experiment dir
         arms += [
             ('spsa_10x', dict(grad_method='spsa',
-                              num_epochs=args.epochs * 10)),
+                              num_epochs=args.epochs * 10,
+                              prefix=args.prefix + '_10x')),
             ('shift@256', dict(grad_method='shift', train_shots=256)),
             ('shift@8192', dict(grad_method='shift', train_shots=8192)),
             ('spsa@1024', dict(grad_method='spsa', train_shots=1024,
-                               num_epochs=args.epochs * 10)),
+                               num_epochs=args.epochs * 10,
+                               prefix=args.prefix + '_10x')),
         ]
 
     rows = []
