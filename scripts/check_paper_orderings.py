@@ -275,10 +275,14 @@ def t1t2_main():
 def hardware_main():
     """Hardware-trainability study trend checks
     (docs/hardware_training.csv, scripts/hardware_training_study.py)."""
+    by_seed = {}
     rows = {}
     with open(PATH) as f:
         for row in csv.DictReader(f):
-            rows[row['method']] = float(row['rel_l2'])
+            seed = int(row.get('seed') or 0)
+            by_seed[(row['method'], seed)] = float(row['rel_l2'])
+            if seed == 0:
+                rows[row['method']] = float(row['rel_l2'])
     if 'autodiff' not in rows:
         print("SKIP hardware checks (csv not populated)")
         return 0
@@ -289,9 +293,12 @@ def hardware_main():
         if not ok:
             failures.append(name)
 
-    check("exact shift rule matches autodiff (10% rel)",
-          abs(rows['shift'] - rows['autodiff'])
-          <= 0.10 * rows['autodiff'])
+    seeds = sorted({s for (m, s) in by_seed if m == 'shift'
+                    and ('autodiff', s) in by_seed})
+    for s in seeds:
+        check(f"exact shift rule matches autodiff (10% rel, seed {s})",
+              abs(by_seed[('shift', s)] - by_seed[('autodiff', s)])
+              <= 0.10 * by_seed[('autodiff', s)])
     if 'shift@256' in rows and 'shift@8192' in rows:
         check("shift quality improves with shot budget",
               rows['shift@8192'] < rows['shift@256'])

@@ -87,6 +87,10 @@ def evals_per_step(grad_method, num_qubits, net_size):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--epochs', type=int, default=300)
+    ap.add_argument('--match_seeds', type=int, default=3,
+                    help='seeds for the autodiff/shift arms (the '
+                         'shift≡autodiff verdict holds per-seed); the '
+                         'other arms run seed 0 only')
     ap.add_argument('--prefix', default='outputs_hw_study')
     ap.add_argument('--quick', action='store_true')
     ap.add_argument('--out', default=None)
@@ -106,9 +110,11 @@ def main():
     if args.quick:
         base['num_epochs'] = 30
 
-    arms = [('autodiff', {}),
-            ('shift', dict(grad_method='shift')),
-            ('spsa', dict(grad_method='spsa'))]
+    n_match = 1 if args.quick else max(1, args.match_seeds)
+    arms = [(f'autodiff', dict(seed=k)) for k in range(n_match)]
+    arms += [(f'shift', dict(grad_method='shift', seed=k))
+             for k in range(n_match)]
+    arms += [('spsa', dict(grad_method='spsa'))]
     if not args.quick:
         # run-IDs do not encode num_epochs (reference contract), so arms
         # that differ ONLY by epochs need their own prefix or the second
@@ -131,6 +137,7 @@ def main():
         rel, sps = harvest(d)
         gm = extra.get('grad_method', 'autodiff')
         rows.append(dict(method=name, grad_method=gm,
+                         seed=extra.get('seed', 0),
                          train_shots=extra.get('train_shots', ''),
                          epochs=extra.get('num_epochs', base['num_epochs']),
                          rel_l2=round(rel, 5),
@@ -147,15 +154,18 @@ def main():
         w.writerows(rows)
     print(f"wrote {out}")
 
-    def get(name):
-        return next((r['rel_l2'] for r in rows if r['method'] == name),
+    def get(name, seed=0):
+        return next((r['rel_l2'] for r in rows
+                     if r['method'] == name and r.get('seed', 0) == seed),
                     None)
     ok = True
-    auto, shift = get('autodiff'), get('shift')
-    if auto is not None and shift is not None:
+    for k in range(n_match):
+        auto, shift = get('autodiff', k), get('shift', k)
+        if auto is None or shift is None:
+            continue
         match = abs(shift - auto) <= 0.10 * max(auto, 1e-9)
-        print(f"VERDICT shift≡autodiff: {shift:.4f} vs {auto:.4f} -> "
-              f"{'MATCH' if match else 'MISMATCH'}")
+        print(f"VERDICT shift≡autodiff (seed {k}): {shift:.4f} vs "
+              f"{auto:.4f} -> {'MATCH' if match else 'MISMATCH'}")
         ok &= match
     lo, hi = get('shift@256'), get('shift@8192')
     if lo is not None and hi is not None:
