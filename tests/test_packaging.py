@@ -14,7 +14,8 @@ def _console_scripts():
 
 def test_console_script_targets_resolve():
     scripts = _console_scripts()
-    assert set(scripts) == {'quanonet-train', 'quanonet-infer'}
+    assert set(scripts) == {'quanonet-train', 'quanonet-infer',
+                            'quanonet-serve'}
     for target in scripts.values():
         mod_name, func_name = target.split(':')
         mod = importlib.import_module(mod_name)
