@@ -58,6 +58,12 @@ class Predictor:
                  shot_seed=0, **overrides):
         import jax
 
+        # persistent XLA cache: a server restart must not recompile all
+        # warmup buckets from scratch (~200s/shape cold over the TPU
+        # tunnel, ~15s cached — CLAUDE.md)
+        from quanonet_tpu.solver import enable_compilation_cache
+        enable_compilation_cache()
+
         self.model, self.params, self.cfg = load_model(
             ckpt_path, branch_in, trunk_in, **overrides)
         self.branch_in = branch_in
@@ -75,13 +81,11 @@ class Predictor:
         # over — tunnel rule) and live on device across requests.
         from quanonet_tpu.ops.noise import is_noisy
         m = self.model
-        self._sampled = bool(getattr(m, 'shots', None)) or is_noisy(
+        noisy = is_noisy(
             getattr(m, 'noise_p', None), getattr(m, 'readout_p', None),
             getattr(m, 'damp_gamma', None), getattr(m, 'dephase_p', None))
-        self._rng_name = 'noise' if is_noisy(
-            getattr(m, 'noise_p', None), getattr(m, 'readout_p', None),
-            getattr(m, 'damp_gamma', None),
-            getattr(m, 'dephase_p', None)) else 'shots'
+        self._sampled = bool(getattr(m, 'shots', None)) or noisy
+        self._rng_name = 'noise' if noisy else 'shots'
         mt = self.cfg.get('model_type', 'QuanONet')
         self._two_input = trunk_in > 0 and mt in ('QuanONet', 'DeepONet')
         self._concat = trunk_in > 0 and mt == 'FNN'
@@ -112,6 +116,11 @@ class Predictor:
             raise ValueError(
                 f"branch must be (n, {self.branch_in}), got {branch.shape}")
         n = branch.shape[0]
+        if (self._two_input or self._concat) and trunk is None:
+            # never silently zero-fill a REQUIRED input: a client that
+            # forgets the trunk would get confidently wrong predictions
+            raise ValueError(
+                f"model expects a trunk input (trunk_in={self.trunk_in})")
         if trunk is not None:
             trunk = np.asarray(trunk, np.float32)
             if trunk.shape != (n, self.trunk_in):

@@ -215,14 +215,18 @@ def noise_main():
         if not ok:
             failures.append(name)
 
+    def lt(a, b):
+        # missing rows (partial CSV) must read as FAIL, not TypeError
+        return a is not None and b is not None and a < b
+
     check("ideal-trained wins on the noise-free simulator",
-          val('ideal', 0.0) < val('noise_aware', 0.0))
+          lt(val('ideal', 0.0), val('noise_aware', 0.0)))
     for p in ps:
         check(f"noise-trained wins under eval noise p={p:g}",
-              val('noise_aware', p) < val('ideal', p))
+              lt(val('noise_aware', p), val('ideal', p)))
     ideal_curve = [val('ideal', p) for p in [0.0] + ps]
     check("ideal-trained degrades monotonically with noise",
-          all(a < b for a, b in zip(ideal_curve, ideal_curve[1:])))
+          all(lt(a, b) for a, b in zip(ideal_curve, ideal_curve[1:])))
     if failures:
         print("FAILURES:", *failures, sep="\n  ")
         return 1
@@ -256,15 +260,19 @@ def t1t2_main():
         if not ok:
             failures.append(name)
 
+    def lt(a, b):
+        # missing rows (partial CSV) must read as FAIL, not TypeError
+        return a is not None and b is not None and a < b
+
     check("ideal-trained wins on the decoherence-free simulator",
-          val('ideal', (0.0, 0.0)) < val('noise_aware', (0.0, 0.0)))
+          lt(val('ideal', (0.0, 0.0)), val('noise_aware', (0.0, 0.0))))
     for ch in chans:
         check(f"noise-trained wins under eval channel γ={ch[0]:g} "
               f"pφ={ch[1]:g}",
-              val('noise_aware', ch) < val('ideal', ch))
+              lt(val('noise_aware', ch), val('ideal', ch)))
     ideal_curve = [val('ideal', c) for c in [(0.0, 0.0)] + chans]
     check("ideal-trained degrades monotonically with decoherence",
-          all(a < b for a, b in zip(ideal_curve, ideal_curve[1:])))
+          all(lt(a, b) for a, b in zip(ideal_curve, ideal_curve[1:])))
     if failures:
         print("FAILURES:", *failures, sep="\n  ")
         return 1

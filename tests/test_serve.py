@@ -77,6 +77,9 @@ def test_predictor_input_validation(served):
     with pytest.raises(ValueError, match="trunk must be"):
         served.predict(np.zeros((4, 10), np.float32),
                        np.zeros((3, 1), np.float32))
+    # a REQUIRED trunk must never be silently zero-filled
+    with pytest.raises(ValueError, match="expects a trunk"):
+        served.predict(np.zeros((4, 10), np.float32))
 
 
 @needs_ckpt
