@@ -147,6 +147,12 @@ def main():
                          'then measured as the sum of per-segment device '
                          'times (evals excluded); the default mode is '
                          'untouched.')
+    ap.add_argument('--batch_size', type=int, default=None,
+                    help='override the reference regime\'s bs=100 (new '
+                         'program shape).  ~100 us of every step is '
+                         'batch-independent (docs/BENCHMARKS.md step '
+                         'anatomy), so larger batches trade optimizer '
+                         'steps for throughput; pair with --lr.')
     ap.add_argument('--f32_tail', type=int, default=0,
                     help='run the LAST N epoch segments at matmul '
                          'precision "highest" (f32, 6-pass).  Default 0: '
@@ -263,7 +269,10 @@ def main():
     target = jnp.asarray(data['train_output'])
     inputs = (branch, trunk)
     n = target.shape[0]
-    batch_size = 100
+    batch_size = args.batch_size or 100
+    if n % batch_size:
+        raise SystemExit(f"--batch_size {batch_size} must divide the "
+                         f"{n}-sample training set (one program shape)")
 
     # Optimizer recipe.  --schedule none reproduces the reference's fixed
     # adam(1e-4); the default is cosine decay from peak 3e-3 — the knee of
@@ -491,6 +500,7 @@ def main():
         "beats_anchor_all_runs": bool(rel_worst < anchor),
         "epochs": epochs,
         "runs": runs,
+        "batch_size": batch_size,
         "engine": args.engine,
         "resolved_engine": engine,
         "lr": peak_lr,
@@ -521,6 +531,7 @@ def main():
                        and args.runs is None and args.engine == 'auto'
                        and args.precision in (None, 'default')
                        and args.lr is None and args.schedule is None
+                       and args.batch_size is None
                        and f32_tail == 0 and not args.anchor_crossing
                        and os.environ.get('QON_UNPIN_EXPECT') != '1')
     if platform == 'tpu' and not tpu_unreachable and _is_default_run:
