@@ -222,7 +222,8 @@ def hamiltonian_main():
                 base = v
     print(f"hamiltonian rows: {len(bounds)} bounds, {len(pauli)} pauli, "
           f"{len(diag)} diag, base={'yes' if base else 'no'}")
-    if len(bounds) < 5 or len(pauli) < 2 or len(diag) < 4 or base is None:
+    if (len(bounds) < 5 or len(pauli) < 2 or len(diag) < 4 or base is None
+            or 1.0 not in bounds or 10.0 not in bounds):
         print("SKIP hamiltonian checks (study not harvested yet)")
         return 0
     failures = []
@@ -297,7 +298,8 @@ def scaling_main():
                 fam[m.group(1)][int(m.group(2))] = v
     print(f"scaling rows: {len(fam)} QuanONet families, "
           f"{len(deeponet)} DeepONet")
-    if len(fam) < 4 or len(deeponet) < 5:
+    if (len(fam) < 4 or len(deeponet) < 5
+            or not any(7 in qs for qs in fam.values())):
         print("SKIP scaling checks (study not harvested yet)")
         return 0
     failures = []
