@@ -109,6 +109,19 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--quick', action='store_true',
                     help='fewer epochs / smaller dataset')
+    ap.add_argument('--regime', default='reference',
+                    choices=['reference', 'throughput'],
+                    help='reference (default): the reference paper\'s own '
+                         'bs=100 training regime — best quality band, but '
+                         'issue-bound (~100 us of every step is batch-'
+                         'independent, docs/BENCHMARKS.md step anatomy).  '
+                         'throughput: bs=1000 + linearly-scaled peak lr '
+                         '1e-2 (measured batch-size frontier, docs/'
+                         'batch_regime.json) — ~2.9x the samples/s and '
+                         '~5x the MFU with every seed still beating the '
+                         'anchor (rel-L2 0.106-0.110).  Each regime '
+                         'refreshes its own docs/last_tpu_bench*.json '
+                         'artifact on a default full run.')
     ap.add_argument('--cpu', action='store_true', help='force CPU backend')
     ap.add_argument('--engine', default='auto',
                     choices=['auto', 'dense', 'gates', 'fused', 'pallas',
@@ -269,7 +282,8 @@ def main():
     target = jnp.asarray(data['train_output'])
     inputs = (branch, trunk)
     n = target.shape[0]
-    batch_size = args.batch_size or 100
+    batch_size = args.batch_size or \
+        (1000 if args.regime == 'throughput' else 100)
     if n % batch_size:
         raise SystemExit(f"--batch_size {batch_size} must divide the "
                          f"{n}-sample training set (one program shape)")
@@ -281,7 +295,11 @@ def main():
     # the tightest 3-seed spread).  Same data/epochs/model — the recipe is
     # the solver's own lr_scheduler=cosine feature (solver.py:135).
     schedule = args.schedule or 'cosine'
-    peak_lr = args.lr or (3e-3 if schedule == 'cosine' else 1e-4)
+    # throughput regime: linear lr scaling with batch (measured better
+    # than sqrt at bs=1000, docs/batch_regime.json)
+    default_peak = (1e-2 if args.regime == 'throughput'
+                    else 3e-3) if schedule == 'cosine' else 1e-4
+    peak_lr = args.lr or default_peak
     steps_per_epoch = n // batch_size
     if schedule == 'cosine':
         lr = optax.cosine_decay_schedule(peak_lr, epochs * steps_per_epoch)
@@ -486,6 +504,7 @@ def main():
 
     result = {
         "metric": "quanonet_q5_advection_train_samples_per_sec_per_chip",
+        "regime": args.regime,
         "value": round(sps, 1),
         "unit": "samples/sec",
         "vs_baseline": round(sps / BASELINE_SAMPLES_PER_SEC, 2),
@@ -522,18 +541,27 @@ def main():
     # Persist each genuine-TPU result so a later wedged-tunnel fallback
     # run can still surface the last measured hardware numbers (clearly
     # labeled — the top-level fields stay honest about the CPU fallback).
-    last_tpu_path = os.path.join(REPO, 'docs', 'last_tpu_bench.json')
-    # ... but only the SHIPPED-DEFAULT full regime may refresh it: a
-    # --quick smoke or an experiment variant (custom epochs/recipe/
-    # precision/engine, A/B env knobs) must not clobber the artifact the
-    # fallback will later present as the headline.
-    _is_default_run = (not args.quick and args.epochs is None
-                       and args.runs is None and args.engine == 'auto'
-                       and args.precision in (None, 'default')
-                       and args.lr is None and args.schedule is None
-                       and args.batch_size is None
-                       and f32_tail == 0 and not args.anchor_crossing
-                       and os.environ.get('QON_UNPIN_EXPECT') != '1')
+    last_tpu_path = os.path.join(
+        REPO, 'docs',
+        'last_tpu_bench.json' if args.regime == 'reference'
+        else f'last_tpu_bench_{args.regime}.json')
+    # ... but only the SHIPPED-DEFAULT full run of each regime may
+    # refresh its artifact: a --quick smoke or an experiment variant
+    # (custom epochs/recipe/precision/engine, A/B env knobs) must not
+    # clobber what the fallback will later present as the headline.
+    # The guard is DERIVED from the argparse defaults so any future flag
+    # defaults to "not a headline run" unless explicitly allowlisted.
+    _benign_flags = {'regime'}   # selects WHICH artifact, never taints it
+    _ap_defaults = {a.dest: a.default for a in ap._actions
+                    if a.dest != 'help'}
+    _overridden = sorted(
+        k for k, v in vars(args).items()
+        if k not in _benign_flags and v != _ap_defaults.get(k, v))
+    if _overridden:
+        log(f"non-default flags {_overridden}: artifact refresh skipped")
+    _is_default_run = (not _overridden
+                       and os.environ.get('QON_UNPIN_EXPECT') != '1'
+                       and os.environ.get('FUSED_UNROLL') is None)
     if platform == 'tpu' and not tpu_unreachable and _is_default_run:
         try:
             tmp = last_tpu_path + '.tmp'

@@ -100,6 +100,18 @@ def get_base_parser():
                         help='Gate-application strategy for the statevector engine')
     parser.add_argument('--num_devices', type=int, default=None,
                         help='Devices for the data-parallel mesh (default: all)')
+    parser.add_argument('--shard', type=str, default=None,
+                        choices=['none', 'data', 'amp', 'pipe'],
+                        help='Mesh-sharded training: data = batch data '
+                             'parallelism (same as --num_devices alone); '
+                             'amp = amplitude sharding, the 2^n state axis '
+                             'splits across devices (Q12+ capacity); '
+                             'pipe = pipeline parallelism over the block '
+                             'chain (GPipe schedule)')
+    parser.add_argument('--n_microbatches', type=int, default=None,
+                        help='--shard pipe: microbatches per batch '
+                             '(default: the pipeline size); batch_size '
+                             'must divide evenly by it')
     parser.add_argument('--multi_seed', type=int, nargs='+', default=None,
                         help='Train several seeds as one vmapped batch')
     parser.add_argument('--multi_seed_fresh_data', type=str, default=None,

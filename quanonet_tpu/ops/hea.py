@@ -419,6 +419,10 @@ FUSED_MIN_QUBITS = 8  # auto switches to the grouped-kron path here:
 
 ENGINES = ('dense', 'gates', 'fused', 'pallas', 'embed', 'pfused')
 
+# Mesh-sharded engines (parallel/shard_engine.py): never auto-selected;
+# chosen via Solver --shard amp|pipe, which installs the mesh context.
+SHARDED_ENGINES = ('amp', 'pipe')
+
 
 def resolve_engine(engine: str, n_qubits: int) -> str:
     if engine in ('auto', None):
@@ -435,15 +439,20 @@ def resolve_engine(engine: str, n_qubits: int) -> str:
         # fused Pallas chain on TPU (falls back to dense beyond its VMEM
         # budget); interpret-mode Pallas is slow on CPU, use dense there
         return 'pallas' if jax.default_backend() == 'tpu' else 'dense'
-    if engine not in ENGINES:
-        raise ValueError(f"unknown engine '{engine}' "
-                         f"(choose from {('auto',) + ENGINES})")
+    if engine not in ENGINES + SHARDED_ENGINES:
+        raise ValueError(f"unknown engine '{engine}' (choose from "
+                         f"{('auto',) + ENGINES + SHARDED_ENGINES})")
     return engine
 
 
 def hea_forward_pair(spec: HEASpec, weights, x, engine='auto'):
     """Evolve |0…0⟩; returns (sr, si) each (batch, 2^n) float32."""
     engine = resolve_engine(engine, spec.n_qubits)
+    if engine in SHARDED_ENGINES:
+        raise ValueError(
+            f"engine '{engine}' computes expectations only (the state "
+            f"is sharded across the mesh and never materialized); use "
+            f"hea_expectation, or a single-device engine for the state")
     if engine == 'dense':
         if not spec.uniform_encode:
             raise ValueError(
@@ -482,6 +491,15 @@ def hea_expectation(spec: HEASpec, weights, x, diag=None, pauli='Z',
     offset/coeff parameterise Σ X_i / Σ Y_i observables otherwise.
     """
     resolved = resolve_engine(engine, spec.n_qubits)
+    if resolved in SHARDED_ENGINES:
+        if pauli != 'Z':
+            raise ValueError(
+                f"engine '{resolved}' supports diagonal (Z-basis) "
+                f"Hamiltonians only, not pauli='{pauli}'")
+        if diag is None:
+            raise ValueError("Z-basis measurement requires a diagonal")
+        from quanonet_tpu.parallel.shard_engine import sharded_expectation
+        return sharded_expectation(spec, weights, x, diag)
     if pauli == 'Z' and resolved == 'pallas':
         from quanonet_tpu.ops.pallas_hea import hea_expectation_pallas
         return hea_expectation_pallas(spec, weights, x, diag)

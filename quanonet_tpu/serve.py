@@ -20,7 +20,9 @@ CLI:  quanonet-serve --ckpt <best_model.npz|.ckpt> --branch_in 100
           [--trunk_in 2] [--port 8777] [--max_batch 8192] [--shots N]
           [--noise_p P] [...]
 API:  POST /predict   {"branch": [[...], ...], "trunk": [[...], ...]}
-                      -> {"pred": [[...], ...], "n": N, "bucket": B}
+                      -> {"pred": [[...], ...], "n": N, "buckets": [B, ...]}
+                      (one bucket per executed chunk; bodies over the
+                      size cap get 413)
       GET  /healthz   -> {"ok": true}
       GET  /info      -> model config + bucket sizes + request counters
 
@@ -108,6 +110,12 @@ class Predictor:
                 return b
         return self.max_batch
 
+    def buckets_for(self, n):
+        """The bucket each executed chunk of an n-row request pads to
+        (requests larger than max_batch run several programs)."""
+        return [self._bucket(min(self.max_batch, n - s))
+                for s in range(0, max(n, 1), self.max_batch)]
+
     def predict(self, branch, trunk=None):
         """branch (n, branch_in) float32; trunk (n, trunk_in) or None.
         Pads to the bucket size, runs the fixed-shape program, slices."""
@@ -188,9 +196,20 @@ class Predictor:
                     buckets=self.buckets, config=cfg, **counters)
 
 
-def make_server(pred: Predictor, host='127.0.0.1', port=8777):
-    """Build (not start) a ThreadingHTTPServer wired to the predictor."""
+def make_server(pred: Predictor, host='127.0.0.1', port=8777,
+                max_body_bytes=None):
+    """Build (not start) a ThreadingHTTPServer wired to the predictor.
+
+    max_body_bytes caps POST bodies (413 beyond it) so one oversized
+    JSON payload can't exhaust memory; the default budgets ~32 bytes of
+    JSON text per input float for a full max_batch request, floored at
+    8 MiB.  The endpoint is UNAUTHENTICATED — bind loopback (default)
+    unless the network is trusted."""
     from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    if max_body_bytes is None:
+        row_floats = pred.branch_in + max(pred.trunk_in, 0) + 1
+        max_body_bytes = max(8 << 20, 32 * row_floats * pred.max_batch)
 
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code, obj):
@@ -215,14 +234,19 @@ def make_server(pred: Predictor, host='127.0.0.1', port=8777):
                 return
             try:
                 length = int(self.headers.get('Content-Length', 0))
+                if length > max_body_bytes:
+                    self._send(413, {"error":
+                                     f"request body {length} bytes exceeds "
+                                     f"the {max_body_bytes}-byte cap "
+                                     f"(split the batch across requests)"})
+                    return
                 req = json.loads(self.rfile.read(length))
                 branch = req['branch']
                 trunk = req.get('trunk')
                 n = len(branch)
                 out = pred.predict(branch, trunk)
                 self._send(200, {"pred": out.tolist(), "n": n,
-                                 "bucket": pred._bucket(min(
-                                     n, pred.max_batch))})
+                                 "buckets": pred.buckets_for(n)})
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, {"error": str(e)})
             except Exception as e:   # keep the server alive on bad input
@@ -241,7 +265,10 @@ def main(argv=None):
     ap.add_argument('--ckpt', required=True)
     ap.add_argument('--branch_in', type=int, required=True)
     ap.add_argument('--trunk_in', type=int, default=0)
-    ap.add_argument('--host', default='127.0.0.1')
+    ap.add_argument('--host', default='127.0.0.1',
+                    help='bind address; the endpoint is UNAUTHENTICATED — '
+                         'anything beyond the loopback default exposes '
+                         'predictions to the whole network')
     ap.add_argument('--port', type=int, default=8777)
     ap.add_argument('--max_batch', type=int, default=8192)
     ap.add_argument('--no_warmup', action='store_true')

@@ -199,15 +199,56 @@ def build_model(config, data):
     raise ValueError(f"Unknown model type: {model_type}")
 
 
+def _decay_tuple_schedule(lr, decay, total_steps):
+    """DeepXDE-style ``decay`` tuple vocabulary (reference
+    solvers/solver_dde.py:214-271 maps lr_scheduler names onto these
+    tuples for Model.compile; DeepXDE consumes the forms below):
+
+    ('step', decay_steps, gamma)          lr · γ^⌊t/steps⌋
+    ('exponential', decay_steps, gamma)   lr · γ^(t/steps)   (smooth)
+    ('inverse time', decay_steps, gamma)  lr / (1 + γ·t/steps)
+    ('cosine', T_max, alpha)              cosine from lr to α·lr over T_max
+    """
+    name = str(decay[0]).lower().replace('_', ' ')
+    if name == 'step':
+        steps, gamma = int(decay[1]), float(decay[2])
+        return lambda t: lr * gamma ** (t // steps)
+    if name == 'exponential':
+        steps, gamma = float(decay[1]), float(decay[2])
+        return lambda t: lr * gamma ** (t / steps)
+    if name == 'inverse time':
+        steps, gamma = float(decay[1]), float(decay[2])
+        return lambda t: lr / (1.0 + gamma * t / steps)
+    if name == 'cosine':
+        t_max = float(decay[1]) if len(decay) > 1 else float(total_steps)
+        alpha = float(decay[2]) if len(decay) > 2 else 0.0
+        floor = alpha * lr
+        return lambda t: (floor + 0.5 * (lr - floor)
+                          * (1 + jnp.cos(jnp.pi
+                                         * jnp.minimum(t, t_max) / t_max)))
+    raise ValueError(
+        f"unknown decay form '{decay[0]}' (expected one of step/"
+        f"exponential/'inverse time'/cosine, solver_dde.py:239-245)")
+
+
 def build_optimizer(config, total_steps):
-    """optax optimizer + LR schedule (reference solver_ms.py:150-180)."""
+    """optax optimizer + LR schedule (reference solver_ms.py:150-180;
+    ``decay`` tuple vocabulary from solver_dde.py:214-271)."""
     opt_name = str(config.get('optimizer', 'adam')).lower()
     lr = config['learning_rate']
     opt_kw = config.get('optimizer_kwargs', {}) or {}
     sched = str(config.get('lr_scheduler', 'none')).lower()
     sched_kw = config.get('lr_scheduler_kwargs', {}) or {}
+    decay = config.get('decay')
 
-    if sched == 'cosine':
+    if decay:
+        schedule = _decay_tuple_schedule(lr, decay, total_steps)
+    elif sched in ('inverse time', 'inverse_time'):
+        steps = sched_kw.get('decay_steps', sched_kw.get('step_size', 1000))
+        gamma = sched_kw.get('gamma', 0.9)
+        schedule = _decay_tuple_schedule(
+            lr, ('inverse time', steps, gamma), total_steps)
+    elif sched == 'cosine':
         eta_min = sched_kw.get('eta_min', 0.0)
         schedule = lambda t: (eta_min + 0.5 * (lr - eta_min)
                               * (1 + jnp.cos(jnp.pi * t / total_steps)))
@@ -371,6 +412,7 @@ class Solver:
         self.data = self.dm.get_data()
         self._route_data()
 
+        self.shard_mode = self._setup_sharding()
         self.model, self.input_mode = build_model(config, self.data)
         self.params = self._init_params()
         self.logger.info(
@@ -378,6 +420,86 @@ class Solver:
         self.best_loss = float('inf')
         self.best_params = None
         self.best_model_path = None
+
+    # ── sharded training (--shard {data,amp,pipe}) ──────────────────────────
+    def _setup_sharding(self):
+        """Route the quantum engine through a mesh-sharded program.
+
+        'data'  — alias for the DP path (equivalent to --num_devices N);
+        'amp'   — amplitude sharding: the 2^n state axis splits across
+                  devices (parallel/amplitude.py), training Q12+ models
+                  whose statevectors outgrow one chip;
+        'pipe'  — pipeline parallelism over the block chain
+                  (parallel/pipeline.py, GPipe schedule).
+
+        amp/pipe install a process-wide shard context and set the model
+        engine so EVERY expectation — train loss, eval, init — runs the
+        shard_map'd program.  New capability (the reference has no
+        distributed execution, SURVEY.md §5.7/5.8)."""
+        config = self.config
+        mode = str(config.get('shard') or 'none').lower()
+        if mode in ('none', 'data'):
+            if mode == 'data' and int(config.get('num_devices') or 0) <= 1:
+                config['num_devices'] = len(jax.devices())
+            return mode
+        if mode not in ('amp', 'pipe'):
+            raise ValueError(f"--shard must be one of none/data/amp/pipe, "
+                             f"got '{mode}'")
+        if self.model_type not in QUANTUM_MODELS:
+            raise ValueError(f"--shard {mode} shards the quantum state/"
+                             f"circuit; {self.model_type} has neither "
+                             f"(use --shard data)")
+        for k in ('noise_p', 'readout_p', 'damp_gamma', 'dephase_p',
+                  'train_shots', 'multi_seed', 'ps_chunk', 'spsa_c'):
+            if config.get(k):
+                raise ValueError(f"--shard {mode} is incompatible with "
+                                 f"--{k} for now")
+        if str(config.get('grad_method') or 'autodiff') != 'autodiff':
+            raise ValueError(f"--shard {mode} trains by autodiff through "
+                             f"the collectives; drop --grad_method")
+        if config.get('ham_pauli', 'Z') not in (None, 'Z'):
+            raise ValueError(f"--shard {mode} supports diagonal (Z-basis) "
+                             f"Hamiltonians only")
+
+        from quanonet_tpu.ops.hea import heaqnn_spec, quanonet_spec
+        if self.model_type == 'QuanONet':
+            ns = tuple(config.get('net_size') or (20, 2, 10, 2))
+            spec = quanonet_spec(config['num_qubits'], ns)
+        else:
+            ns = tuple(config.get('net_size') or (20, 2))
+            spec = heaqnn_spec(config['num_qubits'], ns)
+
+        devs = jax.devices()
+        n_devices = int(config.get('num_devices') or len(devs))
+        if n_devices > len(devs):
+            raise ValueError(f"--num_devices {n_devices} > available "
+                             f"devices {len(devs)}")
+        from quanonet_tpu.parallel.shard_engine import (
+            set_shard_context, validate_shard_config,
+        )
+        validate_shard_config(mode, n_devices, spec,
+                              batch_size=int(config.get('batch_size', 100)),
+                              n_microbatches=config.get('n_microbatches'))
+        from jax.experimental import mesh_utils
+        from jax.sharding import Mesh
+        mesh = Mesh(mesh_utils.create_device_mesh(
+            (n_devices,), devices=devs[:n_devices]), (mode,))
+        set_shard_context(mesh, mode,
+                          n_microbatches=config.get('n_microbatches'))
+        self.shard_mesh = mesh
+        config['engine'] = mode
+        self.logger.info(
+            f"Sharded training: --shard {mode} over {n_devices} devices "
+            f"(Q{spec.n_qubits}, {spec.n_blocks} blocks)")
+        return mode
+
+    def _replicate_on_shard_mesh(self, tree):
+        """Commit a pytree replicated over the amp/pipe mesh so every
+        program sees mesh-consistent input placements."""
+        from jax.sharding import NamedSharding, PartitionSpec
+        sh = NamedSharding(self.shard_mesh, PartitionSpec())
+        return jax.tree_util.tree_map(
+            lambda a: jax.device_put(jnp.asarray(a), sh), tree)
 
     # ── data routing (reference solver_ms.py:72-89) ─────────────────────────
     def _route_data(self):
@@ -475,7 +597,7 @@ class Solver:
         spsa_c = (float(config.get('spsa_c') or 0.05)
                   if gm == 'spsa' else None)
         n_devices = int(config.get('num_devices') or 1)
-        if n_devices > 1:
+        if n_devices > 1 and self.shard_mode in ('none', 'data'):
             if self._noisy:
                 raise ValueError(
                     "noise-aware training (--noise_p/--readout_p/"
@@ -520,6 +642,19 @@ class Solver:
                 spsa_c=spsa_c)
             run_segment = make_run_segment(train_epoch)
             _commit_restored = None
+            if self.shard_mode in ('amp', 'pipe'):
+                # the loop itself is single-program; the shard_map inside
+                # the model's expectation spans the mesh.  Commit data and
+                # state replicated so every input placement is
+                # mesh-consistent (one compiled program variant).
+                inputs = self._replicate_on_shard_mesh(inputs)
+                outputs = self._replicate_on_shard_mesh(outputs)
+                params = self._replicate_on_shard_mesh(params)
+                opt_state = self._replicate_on_shard_mesh(opt_state)
+                _commit_restored = self._replicate_on_shard_mesh
+                self.logger.info(
+                    f"--shard {self.shard_mode}: training over "
+                    f"{self.shard_mesh.shape[self.shard_mode]}-device mesh")
 
         seed = config.get('seed', 0)
         base_key = jax.random.PRNGKey(seed if seed is not None else 0)
@@ -681,10 +816,16 @@ class Solver:
 
         # when training ran data-parallel, evaluate over the same mesh:
         # shard the sample axis over 'data' (params replicated) and let
-        # XLA run the forward SPMD
+        # XLA run the forward SPMD.  amp/pipe modes shard INSIDE the
+        # forward instead — batches go in replicated.
         n_devices = int(self.config.get('num_devices') or 1)
+        shard_mode = getattr(self, 'shard_mode', 'none')
         shard = None
-        if n_devices > 1:
+        if shard_mode in ('amp', 'pipe'):
+            from jax.sharding import NamedSharding, PartitionSpec
+            shard = NamedSharding(self.shard_mesh, PartitionSpec())
+            n_devices = 1   # replicate, don't pad/shard the sample axis
+        elif n_devices > 1:
             from jax.sharding import NamedSharding, PartitionSpec
             from quanonet_tpu.parallel import make_mesh
             mesh = make_mesh(n_devices)

@@ -253,7 +253,12 @@ def hamiltonian_main():
         while i < len(k):
             m = re.match(r'-?\d+(?:\.\d+)?', k[i:])
             if not m:
-                return []
+                # an unparseable _Diag key must be a HARD failure, not a
+                # silent exclusion that weakens the degeneracy gate
+                raise SystemExit(
+                    f"FAIL: unparseable ham_diag run-ID key '{k}' "
+                    f"(at offset {i}) — the spectrum-degeneracy gate "
+                    f"cannot classify this config")
             vals.append(float(m.group(0)))
             i += m.end() + 1        # skip the joining '-'
         return vals

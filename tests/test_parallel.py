@@ -178,3 +178,76 @@ def test_dp_multiseed_step():
     d = jax.tree_util.tree_map(
         lambda a, b: float(jnp.max(jnp.abs(a - b))), params, new_p)
     assert max(jax.tree_util.tree_leaves(d)) > 0
+
+
+# ── --shard amp|pipe: Solver/CLI-reachable sharded training ──────────────────
+# (VERDICT round-3 task 1: parallel/shard_engine.py routes the model's
+# expectation through the amplitude-sharded / pipeline-parallel engines)
+
+def _shard_cfg(prefix, **over):
+    cfg = dict(operator='Antideriv', model_type='QuanONet',
+               num_train=12, num_test=8, num_points=40, num_points_0=8,
+               train_sample_num=4, test_sample_num=6,
+               batch_size=16, num_epochs=6, learning_rate=0.01,
+               num_qubits=4, net_size=[2, 1, 2, 1], scale_coeff=0.01,
+               if_trainable_freq='true', seed=0, prefix=prefix)
+    cfg.update(over)
+    return cfg
+
+
+@pytest.fixture()
+def _clear_shard_ctx():
+    from quanonet_tpu.parallel.shard_engine import clear_shard_context
+    yield
+    clear_shard_context()
+
+
+@pytest.mark.parametrize('mode,ndev', [('amp', 4), ('pipe', 4)])
+def test_solver_shard_matches_unsharded(tmp_path, monkeypatch,
+                                        _clear_shard_ctx, mode, ndev):
+    """main.py --shard amp|pipe trains end-to-end through the Solver on
+    the virtual mesh, and its whole loss trajectory + final eval match
+    the unsharded single-device run (same data, seed, recipe)."""
+    import quanonet_tpu.data.generation as gen
+    from quanonet_tpu.solver import Solver
+    monkeypatch.setattr(gen, 'DATA_ROOT', str(tmp_path / 'raw'))
+    monkeypatch.chdir(tmp_path)
+
+    np.random.seed(0)
+    ref_solver = Solver(_shard_cfg('out_ref'))
+    ref_hist = ref_solver.train()
+    ref_metrics = ref_solver.evaluate(ref_hist)
+
+    np.random.seed(0)
+    solver = Solver(_shard_cfg(f'out_{mode}', shard=mode, num_devices=ndev))
+    assert solver.config['engine'] == mode
+    hist = solver.train()
+    metrics = solver.evaluate(hist)
+
+    np.testing.assert_allclose(hist['loss_train'], ref_hist['loss_train'],
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(metrics['rel_l2'], ref_metrics['rel_l2'],
+                               rtol=1e-4, atol=1e-6)
+    assert hist['loss_train'][-1] < hist['loss_train'][0]
+
+
+def test_solver_shard_validation(tmp_path, monkeypatch, _clear_shard_ctx):
+    """Friendly upfront errors: classical model, non-power-of-2 amp
+    devices, indivisible pipeline blocks, noise flags."""
+    import quanonet_tpu.data.generation as gen
+    from quanonet_tpu.solver import Solver
+    monkeypatch.setattr(gen, 'DATA_ROOT', str(tmp_path / 'raw'))
+    monkeypatch.chdir(tmp_path)
+    np.random.seed(0)
+
+    with pytest.raises(ValueError, match="quantum"):
+        Solver(_shard_cfg('out_v1', model_type='FNN', net_size=[2, 8],
+                          shard='amp', num_devices=4))
+    with pytest.raises(ValueError, match="power-of-two"):
+        Solver(_shard_cfg('out_v2', shard='amp', num_devices=3))
+    with pytest.raises(ValueError, match="divide evenly|divisible"):
+        # 4 blocks over 3 pipeline stages
+        Solver(_shard_cfg('out_v3', shard='pipe', num_devices=3))
+    with pytest.raises(ValueError, match="incompatible"):
+        Solver(_shard_cfg('out_v4', shard='amp', num_devices=4,
+                          noise_p=0.01))

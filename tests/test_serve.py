@@ -112,9 +112,17 @@ def test_http_round_trip(served):
         code, resp = call('/predict', {"branch": b.tolist(),
                                        "trunk": t.tolist()})
         assert code == 200 and resp['n'] == 5
+        assert resp['buckets'] == [8]      # 5 rows pad to the 8-bucket
         want = served.predict(b, t)
         np.testing.assert_allclose(np.asarray(resp['pred']), want,
                                    atol=1e-5)
+
+        # multi-chunk request (n > max_batch=16): one bucket per chunk
+        b2 = rng.randn(21, 10).astype(np.float32)
+        t2 = rng.rand(21, 1).astype(np.float32)
+        code, resp = call('/predict', {"branch": b2.tolist(),
+                                       "trunk": t2.tolist()})
+        assert code == 200 and resp['buckets'] == [16, 8]
 
         code, info = call('/info')
         assert code == 200 and info['branch_in'] == 10
@@ -125,6 +133,46 @@ def test_http_round_trip(served):
 
         code, err = call('/nope')
         assert code == 404
+    finally:
+        srv.shutdown()
+        thread.join(timeout=10)
+
+
+@needs_ckpt
+def test_buckets_for(served):
+    assert served.buckets_for(5) == [8]
+    assert served.buckets_for(16) == [16]
+    assert served.buckets_for(17) == [16, 1]
+    assert served.buckets_for(40) == [16, 16, 8]
+    assert served.buckets_for(0) == [1]
+
+
+@needs_ckpt
+def test_http_body_size_cap(served):
+    """POST bodies over the cap are rejected with 413 before being read
+    (ADVICE r3: unauthenticated endpoint must not be memory-exhaustible)."""
+    srv = make_server(served, host='127.0.0.1', port=0, max_body_bytes=1024)
+    port = srv.server_port
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        big = {"branch": [[1.0] * 10] * 100, "trunk": [[0.5]] * 100}
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict',
+            data=json.dumps(big).encode(),
+            headers={'Content-Type': 'application/json'})
+        with pytest.raises(urllib.error.HTTPError) as exc:
+            urllib.request.urlopen(req, timeout=60)
+        assert exc.value.code == 413
+        assert 'cap' in json.loads(exc.value.read())['error']
+        # a small request still works on the same server
+        small = {"branch": [[1.0] * 10], "trunk": [[0.5]]}
+        req = urllib.request.Request(
+            f'http://127.0.0.1:{port}/predict',
+            data=json.dumps(small).encode(),
+            headers={'Content-Type': 'application/json'})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            assert r.status == 200
     finally:
         srv.shutdown()
         thread.join(timeout=10)

@@ -133,6 +133,46 @@ def test_build_optimizer_schedules():
     assert isinstance(opt, optax.GradientTransformation)
 
 
+def test_decay_tuple_vocabulary():
+    """DeepXDE-style decay tuples (reference solver_dde.py:214-271) reach
+    the optimizer with the documented functional forms."""
+    from quanonet_tpu.solver import _decay_tuple_schedule
+
+    lr = 0.1
+    s = _decay_tuple_schedule(lr, ('step', 10, 0.5), 100)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(9)) == pytest.approx(0.1)
+    assert float(s(10)) == pytest.approx(0.05)
+    assert float(s(25)) == pytest.approx(0.025)
+
+    s = _decay_tuple_schedule(lr, ('exponential', 10, 0.5), 100)
+    assert float(s(10)) == pytest.approx(0.05)
+    assert float(s(5)) == pytest.approx(0.1 * 0.5 ** 0.5)
+
+    s = _decay_tuple_schedule(lr, ('inverse time', 10, 2.0), 100)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(10)) == pytest.approx(0.1 / 3.0)
+
+    s = _decay_tuple_schedule(lr, ('cosine', 40, 0.1), 100)
+    assert float(s(0)) == pytest.approx(0.1)
+    assert float(s(40)) == pytest.approx(0.01)   # floor = alpha*lr
+    assert float(s(80)) == pytest.approx(0.01)   # clamped past T_max
+    # underscore + case-insensitive alias
+    s2 = _decay_tuple_schedule(lr, ('Inverse_Time', 10, 2.0), 100)
+    assert float(s2(10)) == pytest.approx(0.1 / 3.0)
+
+    with pytest.raises(ValueError, match="decay form"):
+        _decay_tuple_schedule(lr, ('polynomial', 10, 2.0), 100)
+
+    # through build_optimizer: decay tuple wins, lr_scheduler alias works
+    opt = build_optimizer(dict(learning_rate=0.1,
+                               decay=('inverse time', 10, 2.0)), 100)
+    assert isinstance(opt, optax.GradientTransformation)
+    opt = build_optimizer(dict(learning_rate=0.1,
+                               lr_scheduler='inverse_time'), 100)
+    assert isinstance(opt, optax.GradientTransformation)
+
+
 def test_segment_size():
     from quanonet_tpu.solver import _segment_size
     # divisor path: exactly one compiled shape
