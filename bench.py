@@ -166,6 +166,12 @@ def main():
                          'batch-independent (docs/BENCHMARKS.md step '
                          'anatomy), so larger batches trade optimizer '
                          'steps for throughput; pair with --lr.')
+    ap.add_argument('--datagen', default=None,
+                    choices=['host', 'device', 'native'],
+                    help='data-prep generator (see quanonet_tpu.config). '
+                         'device/native are NOT byte-identical to the '
+                         'reference cache, so this is never a headline '
+                         'run; use to time device-side data prep.')
     ap.add_argument('--f32_tail', type=int, default=0,
                     help='run the LAST N epoch segments at matmul '
                          'precision "highest" (f32, 6-pass).  Default 0: '
@@ -267,6 +273,8 @@ def main():
                    num_train=num_train, num_test=1000,
                    num_points=100, num_points_0=100,
                    train_sample_num=100, test_sample_num=1000)
+    if args.datagen:
+        cfg['datagen'] = args.datagen
     t0 = time.time()
     np.random.seed(0)
     data = DataManager(cfg, data_dir=os.path.join(REPO, 'data')).get_data()

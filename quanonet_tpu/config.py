@@ -162,6 +162,17 @@ def get_base_parser():
                              'boundary; a killed run restarted with the '
                              'same config resumes bit-identically from the '
                              'last boundary')
+    parser.add_argument('--datagen', type=str, default=None,
+                        choices=['host', 'device', 'native'],
+                        help='Raw data generator: host = reference '
+                             'NumPy/SciPy RK45 (byte-contract cache, '
+                             'default), device = jitted on-device GRF+RK4+'
+                             'stencils, native = C++ batched RK4/stencils. '
+                             'CAVEAT: device/native integrate with RK4 '
+                             '(~1e-3 vs RK45) / f32 stencils (~1e-4), so '
+                             'they cache under distinct filenames and are '
+                             'distribution-level (not byte-level) '
+                             'equivalents of the reference datasets')
     return parser
 
 

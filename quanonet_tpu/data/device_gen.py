@@ -206,6 +206,63 @@ def solve_darcy_batch(u0, K=0.1, f=-1.0, cg_tol=1e-6, cg_maxiter=2000):
     return g.at[:, 1:-1, 1:-1].set(u_int)
 
 
+def _host_contract(u0, u, num_train, num_test):
+    """Random train/test split on the process-global NumPy RNG — the same
+    split semantics as the host generators (generation.py:181-189)."""
+    n = num_train + num_test
+    train_index = np.random.choice(n, num_train, replace=False)
+    test_index = np.setdiff1d(np.arange(n), train_index)
+    u0 = np.asarray(u0, np.float32)
+    u = np.asarray(u, np.float32)
+    return (u0[train_index], u[train_index], u0[test_index], u[test_index])
+
+
+def _device_key():
+    """One jax key per generation call, folded from the global NumPy RNG
+    so launch-time seeding (config.set_random_seed) stays deterministic."""
+    return jax.random.PRNGKey(int(np.random.randint(0, 2 ** 31 - 1)))
+
+
+def generate_ode_operator_data_device(operator_type, num_train, num_test,
+                                      num_points, num_points_0,
+                                      length_scale=0.2, num_cal=1000,
+                                      input_sampler=None, key=None):
+    """Drop-in replacement for generation.generate_ode_operator_data that
+    runs GRF sampling + RK4 integration on-device (same 5-tuple return
+    contract).  Distribution-identical but NOT bit-identical to the host
+    path (jax.random vs numpy; RK4 vs RK45 at ~1e-3) — DataManager caches
+    it under a distinct ``_dgdevice`` filename."""
+    if input_sampler is not None:
+        raise ValueError("device datagen does not support input_sampler; "
+                         "use the host path for custom input functions")
+    num_cal = 1000 if num_cal is None else num_cal
+    n = num_train + num_test
+    u0, u = generate_ode_batch(key if key is not None else _device_key(),
+                               operator_type, n, num_points, num_points_0,
+                               num_cal=num_cal, length_scale=length_scale)
+    x_target = np.linspace(0, 1, num_points).astype(np.float32)
+    return (*_host_contract(u0, u, num_train, num_test), x_target)
+
+
+def generate_pde_operator_data_device(operator_type, num_train, num_test,
+                                      num_points, num_points_0,
+                                      length_scale=0.2, num_cal=100,
+                                      input_sampler=None, key=None):
+    """PDE analogue of generate_ode_operator_data_device (6-tuple return
+    contract, incl. t_target)."""
+    if input_sampler is not None:
+        raise ValueError("device datagen does not support input_sampler; "
+                         "use the host path for custom input functions")
+    num_cal = 100 if num_cal is None else num_cal
+    n = num_train + num_test
+    u0, u = generate_pde_batch(key if key is not None else _device_key(),
+                               operator_type, n, num_points, num_points_0,
+                               num_cal=num_cal, length_scale=length_scale)
+    x_target = np.linspace(0, 1, num_points).astype(np.float32)
+    return (*_host_contract(u0, u, num_train, num_test),
+            x_target, x_target.copy())
+
+
 @partial(jax.jit, static_argnames=('operator', 'batch', 'num_points',
                                    'num_points_0', 'num_cal',
                                    'length_scale'))

@@ -83,13 +83,28 @@ ODE_SYSTEMS = {
 DATA_ROOT = os.environ.get('QUANONET_DATA_ROOT', 'data')
 
 
+def _resolve_native(use_native):
+    """Resolve the use_native tri-state: None -> QUANONET_NATIVE env,
+    then AND with actual library availability (probe builds on first
+    use)."""
+    if use_native is None:
+        use_native = os.environ.get('QUANONET_NATIVE') == '1'
+    if not use_native:
+        return False
+    try:
+        from quanonet_tpu.data.native import native_available
+        return bool(native_available())
+    except Exception:
+        return False
+
+
 def _native_ode_solve(operator_type, samples, num_cal, x_cal,
                       u_cals, u0_cals) -> bool:
-    """Opt-in C++ batched RK4 path (QUANONET_NATIVE=1): ~200x the
-    per-sample SciPy loop.  Returns False to fall back when the native
-    library is unavailable.  NB: RK4 vs RK45 differ at ~1e-3 — cached raw
-    datasets generated with this path are not byte-identical to the
-    default path."""
+    """Opt-in C++ batched RK4 path (use_native / QUANONET_NATIVE=1):
+    ~200x the per-sample SciPy loop.  Returns False to fall back when the
+    native library is unavailable.  NB: RK4 vs RK45 differ at ~1e-3 —
+    raw datasets from this path are cached under a separate ``_rk4``
+    filename so they never mix with the byte-contract default cache."""
     try:
         from quanonet_tpu.data.native import (
             native_available, solve_ode_batch_native,
@@ -111,17 +126,24 @@ def _native_ode_solve(operator_type, samples, num_cal, x_cal,
 def generate_ode_operator_data(operator_type, num_train, num_test,
                                num_points, num_points_0,
                                length_scale=0.2, num_cal=1000,
-                               input_sampler=None):
+                               input_sampler=None, use_native=None):
     """GRF inputs -> RK45 solutions, dual-resolution interpolation, random
     train/test split (reference data_generation.py:87-206).  Raw solutions
-    are cached on disk under a FileLock unless input_sampler is given."""
+    are cached on disk under a FileLock unless input_sampler is given.
+
+    use_native: True routes the solves through the C++ batched RK4
+    library (data/native.py); None defers to QUANONET_NATIVE=1.  The RK4
+    results differ from SciPy RK45 at ~1e-3, so they get their own raw
+    cache file (``..._rk4.npz``)."""
     if operator_type not in ODE_SYSTEMS:
         raise ValueError(f"Unknown operator type: {operator_type}")
     ode_func_generator = ODE_SYSTEMS[operator_type]['ode_func']
+    use_native = _resolve_native(use_native)
 
+    cache_tag = '_rk4' if use_native else ''
     data_path = os.path.join(
         DATA_ROOT, f'{operator_type}_Operator_data',
-        f'{operator_type}_Operator_data_{num_cal}_1.npz')
+        f'{operator_type}_Operator_data_{num_cal}_1{cache_tag}.npz')
     os.makedirs(os.path.dirname(data_path), exist_ok=True)
     x_cal = np.linspace(0, 1, num_cal)
 
@@ -139,7 +161,6 @@ def generate_ode_operator_data(operator_type, num_train, num_test,
                 lambda n: generate_random_gaussian_field(n, length_scale))
             samples = [sampler(num_cal) for _ in range(total_needed)]
 
-            use_native = os.environ.get('QUANONET_NATIVE') == '1'
             if operator_type == 'Identity':
                 for _, u0 in samples:
                     u_cals.append(u0.copy())
@@ -311,20 +332,59 @@ PDE_OPERATORS = tuple(_PDE_SOLVERS)
 ODE_OPERATORS = tuple(ODE_SYSTEMS)
 
 
+def _native_pde_solve(operator_type, total_needed, num_cal, length_scale,
+                      input_sampler, u_cals, u0_cals) -> bool:
+    """Batched C++ stencil path for Advection/RDiffusion (data/native.py;
+    f32, OpenMP).  Matches the host stencils to ~1e-4 (float32 vs
+    float64); callers cache it under a separate ``_native`` filename.
+    Returns False to fall back (Darcy, or library unavailable)."""
+    try:
+        from quanonet_tpu.data.native import (
+            native_available, solve_advection_batch_native,
+            solve_rdiffusion_batch_native,
+        )
+        if not native_available():
+            return False
+        batch_solver = {'Advection': solve_advection_batch_native,
+                        'RDiffusion': solve_rdiffusion_batch_native,
+                        }.get(operator_type)
+        if batch_solver is None:
+            return False
+        sampler = input_sampler or (
+            lambda n: generate_random_gaussian_field(n, length_scale))
+        # sequential GRF draws, as in the host loop
+        u0s = np.stack([sampler(num_cal)[1] for _ in range(total_needed)])
+        us = batch_solver(u0s.astype(np.float32))
+        for i in range(total_needed):
+            if np.isnan(us[i]).any():
+                continue
+            u_cals.append(us[i].astype(np.float64))
+            u0_cals.append(u0s[i])
+        return True
+    except Exception:
+        return False
+
+
 def generate_pde_operator_data(operator_type, num_train, num_test,
                                num_points, num_points_0,
                                length_scale=0.2, num_cal=100,
-                               input_sampler=None):
+                               input_sampler=None, use_native=None):
     """PDE analogue of generate_ode_operator_data
     (reference data_generation.py:355-480): NaN samples skipped, periodic
-    cache save, 2-D grid interpolation onto num_points x num_points."""
+    cache save, 2-D grid interpolation onto num_points x num_points.
+
+    use_native: True routes Advection/RDiffusion through the C++ batched
+    stencil library (f32, ~1e-4 vs the float64 host stencils — own raw
+    cache ``..._native.npz``); Darcy always uses the host sparse solve."""
     if operator_type not in _PDE_SOLVERS:
         raise ValueError(f"Unknown PDE operator: {operator_type}")
     solver = _PDE_SOLVERS[operator_type]
+    use_native = (operator_type != 'Darcy') and _resolve_native(use_native)
 
+    cache_tag = '_native' if use_native else ''
     data_path = os.path.join(
         DATA_ROOT, f'{operator_type}_Operator_data',
-        f'{operator_type}_Operator_data_{num_cal}_1.npz')
+        f'{operator_type}_Operator_data_{num_cal}_1{cache_tag}.npz')
     os.makedirs(os.path.dirname(data_path), exist_ok=True)
 
     with FileLock(data_path + '.lock'):
@@ -341,6 +401,12 @@ def generate_pde_operator_data(operator_type, num_train, num_test,
         if len(u_cals) < num_train + num_test:
             total_needed = num_train + num_test - len(u_cals)
             save_interval = 100
+            if use_native and _native_pde_solve(
+                    operator_type, total_needed, num_cal, length_scale,
+                    input_sampler, u_cals, u0_cals):
+                if input_sampler is None:
+                    np.savez(data_path, u_cals=u_cals, u0_cals=u0_cals)
+                total_needed = 0
             for i in range(total_needed):
                 try:
                     u0_override = None

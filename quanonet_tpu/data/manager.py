@@ -33,6 +33,22 @@ class DataManager:
 
         self.operator_type = config['operator']
         self.model_type = config.get('model_type', 'DeepONet')
+        # 'host' (reference NumPy/SciPy, byte-contract cache, default) |
+        # 'device' (jit GRF+RK4+stencils, data/device_gen.py) |
+        # 'native' (C++ batched RK4/stencils, data/native.py).
+        # Non-host results are distribution-level equivalents (RK4 vs
+        # RK45 ~1e-3; f32 stencils ~1e-4) and cache under distinct names.
+        self.datagen = config.get('datagen') or 'host'
+        if self.datagen == 'host' and os.environ.get('QUANONET_NATIVE') == '1':
+            self.datagen = 'native'    # legacy env opt-in == --datagen native
+        if self.datagen not in ('host', 'device', 'native'):
+            raise ValueError(f"datagen must be host|device|native, "
+                             f"got {self.datagen!r}")
+        if self.datagen != 'host' and self.input_sampler is not None:
+            self.logger.info("custom input_sampler supplied: forcing "
+                             "datagen=host (the sampler is a host-side "
+                             "function seam)")
+            self.datagen = 'host'
         self.num_points = config.get('num_points', 100)
         self.num_points_0 = config.get('num_points_0', 100)
         if config.get('num_cal') is not None:
@@ -77,19 +93,30 @@ class DataManager:
         else:
             base += (f"_{c.get('train_sample_num', 10)}"
                      f"_{c.get('test_sample_num', 100)}")
+        if self.datagen != 'host':
+            # never mix non-byte-identical generators into the
+            # reference-contract cache files
+            base += f"_dg{self.datagen}"
         return f"{base}.npz"
 
     def _generate_and_process(self):
         c = self.config
         is_pde = self.operator_type in PDE_OPERATORS
-        raw_gen = (gen.generate_pde_operator_data if is_pde
-                   else gen.generate_ode_operator_data)
+        extra = {}
+        if self.datagen == 'device':
+            from quanonet_tpu.data import device_gen
+            raw_gen = (device_gen.generate_pde_operator_data_device if is_pde
+                       else device_gen.generate_ode_operator_data_device)
+        else:
+            raw_gen = (gen.generate_pde_operator_data if is_pde
+                       else gen.generate_ode_operator_data)
+            extra['use_native'] = (self.datagen == 'native') or None
 
         def gen_func(nt, nte, *args, **kwargs):
             return raw_gen(self.operator_type, nt, nte,
                            self.num_points, self.num_points_0,
                            num_cal=self.num_cal,
-                           input_sampler=self.input_sampler)
+                           input_sampler=self.input_sampler, **extra)
 
         if self.model_type == 'FNO':
             encoder = pde_fncode if is_pde else ode_fncode
