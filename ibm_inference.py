@@ -28,8 +28,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from quanonet_tpu.checkpoint import load_raw
 from quanonet_tpu.ibm_export import (
     build_gate_list, fetch_ibm_job, ideal_predictions, noisy_predictions,
-    qiskit_available, shot_predictions, simulate_gate_list, submit_to_ibm,
-    to_qasm2, unpack_quanonet_weights,
+    qiskit_available, shot_predictions, simulate_gate_list,
+    submission_manifest, submit_to_ibm, to_qasm2, unpack_quanonet_weights,
 )
 from quanonet_tpu.infer import _parse_path, evaluate
 from quanonet_tpu.ops.hamiltonian import simple_ham_params
@@ -201,15 +201,19 @@ def main():
     export_idx = np.linspace(0, num_points - 1, args.export_points,
                              dtype=int)
     max_dev = 0.0
+    qasms, labels = [], []
     for k in export_idx:
         n_wires, ops = build_gate_list(branch_vec, [trunk_vec[k]],
                                        trunk_w, branch_w, coeffs)
         zsum = simulate_gate_list(n_wires, ops)
         gate_pred = zsum * ham_coeff + ham_offset + bias
         max_dev = max(max_dev, abs(gate_pred - ideal_pred[k]))
+        qasm = to_qasm2(n_wires, ops)
+        qasms.append(qasm)
+        labels.append(f'circuit_point{k}.qasm (trunk={trunk_vec[k]:.6g})')
         qasm_path = os.path.join(args.export_dir, f'circuit_point{k}.qasm')
         with open(qasm_path, 'w') as f:
-            f.write(to_qasm2(n_wires, ops))
+            f.write(qasm)
     print(f"-> Exported {len(export_idx)} QASM circuits to "
           f"{args.export_dir}/ (gate-level replay deviates "
           f"{max_dev:.2e} from the fused engine)")
@@ -230,6 +234,12 @@ def main():
         'sampled_rel_l2_at_shots': float(ms['rel_l2']),
         # predicted decoherence floor (--gate_error_2q; ops/noise.py)
         **noise_floor,
+        # formal multi-pub hand-off: per-circuit QASM hashes + big-endian
+        # observable terms + postprocess, exactly what submit_to_ibm
+        # assembles live (ibm_export.submission_manifest)
+        'submission': submission_manifest(
+            qasms, num_qubits, tuple(args.ham_bound), shots=args.shots,
+            bias=bias, labels=labels),
     }
     with open(os.path.join(args.export_dir, 'manifest.json'), 'w') as f:
         json.dump(manifest, f, indent=2)

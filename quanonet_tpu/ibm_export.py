@@ -17,9 +17,13 @@ WITHOUT qiskit (not installed in this environment):
 * qiskit-gated extras (ideal estimator, least_busy + calibration-scored
   qubit routing, EstimatorV2 submission) activate when qiskit is present.
 """
+import hashlib
+
 import numpy as np
 
-from quanonet_tpu.ops.hamiltonian import simple_ham_params
+from quanonet_tpu.ops.hamiltonian import (
+    simple_ham_params, walsh_hadamard_coeffs,
+)
 
 
 def unpack_quanonet_weights(raw, net_size, num_qubits):
@@ -112,14 +116,14 @@ def to_qasm2(n_wires, ops, measure=False):
     return '\n'.join(lines) + '\n'
 
 
-def simulate_gate_list(n_wires, ops):
-    """Run the exported gate sequence on the gate-by-gate engine.
-    Returns <Σ Z_i> (unscaled).  Used to self-verify the export."""
+def final_state(n_wires, ops):
+    """Run the exported gate sequence on the gate-by-gate engine and
+    return the final statevector as a host-side complex128 array (index k
+    <-> little-endian bit i = qubit i, the engine convention)."""
     import jax.numpy as jnp
     from quanonet_tpu.ops.hea import (
         _apply_ry, _apply_rz, _rx_single, _init_state,
     )
-    from quanonet_tpu.ops.gates import z_signs
 
     sr, si = _init_state(1, 2 ** n_wires)
     for op in ops:
@@ -144,16 +148,159 @@ def simulate_gate_list(n_wires, ops):
             si = si[:, inv]
         else:
             raise ValueError(f"unknown op {op[0]}")
-    probs = np.asarray(sr * sr + si * si)[0]
-    zs = z_signs(n_wires).sum(axis=1)
-    return float(probs @ zs)
+    return (np.asarray(sr, np.float64)
+            + 1j * np.asarray(si, np.float64))[0]
+
+
+def simulate_gate_list(n_wires, ops, ham_pauli='Z', ham_diag=None):
+    """Self-verify the export: run the exported gate sequence and return
+    the RAW observable value the estimator would report —
+    <Σ P_i> for ham_pauli in {X, Y, Z} (reference ham_pauli ablation,
+    quantum_circuits_ms.py:28-39), or <H> for an explicit diagonal
+    ham_diag (quantum_circuits_qiskit.py:117-134).  Apply the classical
+    affine (offset, coeff) from hamiltonian_pauli_terms afterwards."""
+    from quanonet_tpu.ops.gates import z_signs
+
+    psi = final_state(n_wires, ops)
+    if ham_diag is not None:
+        d = np.asarray(ham_diag, np.float64)
+        if d.size != 2 ** n_wires:
+            raise ValueError(f"ham_diag has {d.size} entries; expected "
+                             f"2^{n_wires} = {2 ** n_wires}")
+        return float((np.abs(psi) ** 2) @ d)
+    if ham_pauli == 'Z':
+        zs = z_signs(n_wires).sum(axis=1)
+        return float((np.abs(psi) ** 2) @ zs)
+    if ham_pauli not in ('X', 'Y'):
+        raise ValueError(f"ham_pauli must be X|Y|Z, got {ham_pauli!r}")
+    k = np.arange(2 ** n_wires)
+    total = 0.0
+    for i in range(n_wires):
+        flipped = psi[k ^ (1 << i)]
+        if ham_pauli == 'X':
+            # <X_i> = Σ_k conj(ψ_k) ψ_{k^bit}
+            total += float(np.real(np.conj(psi) @ flipped))
+        else:
+            # Y|0>=i|1>, Y|1>=-i|0>: (Yψ)_k = i·sign(bit_i(k))·ψ_{k^bit}
+            sign = np.where((k >> i) & 1, 1.0, -1.0)
+            total += float(np.real(np.conj(psi) @ (1j * sign * flipped)))
+    return total
+
+
+def hamiltonian_pauli_terms(num_qubits, ham_bound=(-5.0, 5.0),
+                            ham_pauli='Z', ham_diag=None):
+    """The observable half of a QPU submission: big-endian Pauli-string
+    terms for qiskit's ``SparsePauliOp.from_list`` plus the classical
+    affine postprocess, ``pred = evs·coeff + offset (+ bias)``.
+
+    Matches the reference's _build_hamiltonian_op
+    (quantum_circuits_qiskit.py:93-134): qubit i sits at string position
+    n-1-i (qiskit big-endian).  Simple Hamiltonians (H = offset·I +
+    c·Σ_i P_i, P = ham_pauli ∈ {X,Y,Z}, generate_simple_hamiltonian
+    semantics) export unit-coefficient single-P terms with the affine
+    applied classically — exactly how the reference submits
+    (ibm_inference.py:195-213).  An explicit ham_diag exports its
+    Walsh–Hadamard Z-string decomposition (terms carry the real
+    coefficients; offset=0, coeff=1), dropping |c| < 1e-12 terms.
+
+    Returns (terms, offset, coeff) with terms = [(pauli_str, coeff), ...].
+    """
+    n = num_qubits
+    if ham_diag is not None:
+        coeffs = walsh_hadamard_coeffs(ham_diag, n)
+        terms = []
+        for idx, c in enumerate(coeffs):
+            if abs(c) < 1e-12:
+                continue
+            chars = ['I'] * n
+            for q in range(n):
+                if (idx >> q) & 1:
+                    chars[n - 1 - q] = 'Z'
+            terms.append((''.join(chars), float(c)))
+        if not terms:
+            terms = [('I' * n, 0.0)]
+        return terms, 0.0, 1.0
+    if ham_pauli not in ('X', 'Y', 'Z'):
+        raise ValueError(f"ham_pauli must be X|Y|Z, got {ham_pauli!r}")
+    offset, coeff = simple_ham_params(n, *ham_bound)
+    terms = [('I' * (n - 1 - i) + ham_pauli + 'I' * i, 1.0)
+             for i in range(n)]
+    return terms, offset, coeff
+
+
+def pauli_term_expectations(n_wires, ops, terms):
+    """Independent estimator double: evaluate each big-endian Pauli-string
+    term on the exported circuit's final state exactly as qiskit's
+    EstimatorV2 would, and return Σ c·<term>.  Verifies the TERMS emitted
+    by hamiltonian_pauli_terms (string convention included) without
+    qiskit."""
+    psi = final_state(n_wires, ops)
+    k = np.arange(2 ** n_wires)
+    total = 0.0
+    for string, c in terms:
+        if len(string) != n_wires:
+            raise ValueError(f"term {string!r} has wrong length")
+        phi = psi.copy()
+        for pos, ch in enumerate(string):
+            q = n_wires - 1 - pos    # big-endian: leftmost char = qubit n-1
+            if ch == 'I':
+                continue
+            bit = (k >> q) & 1
+            if ch == 'Z':
+                phi = np.where(bit, -phi, phi)
+            elif ch == 'X':
+                phi = phi[k ^ (1 << q)]
+            elif ch == 'Y':
+                phi = 1j * np.where(bit, 1.0, -1.0) * phi[k ^ (1 << q)]
+            else:
+                raise ValueError(f"unknown Pauli {ch!r} in {string!r}")
+        total += float(c) * float(np.real(np.conj(psi) @ phi))
+    return total
+
+
+def submission_manifest(qasm_strs, num_qubits, ham_bound=(-5.0, 5.0),
+                        ham_pauli='Z', ham_diag=None, shots=10_000,
+                        bias=0.0, labels=None):
+    """Assemble the JSON-serializable hand-off artifact for a multi-pub
+    EstimatorV2 submission from a qiskit-enabled machine: one pub per
+    exported circuit, a shared observable (hamiltonian_pauli_terms), the
+    shot budget, and the classical postprocess.  The structure mirrors
+    what submit_to_ibm assembles live (one (circuit, [observable]) pub
+    per QASM, reference ibm_inference.py:269-276)."""
+    terms, offset, coeff = hamiltonian_pauli_terms(
+        num_qubits, ham_bound, ham_pauli, ham_diag)
+    pubs = []
+    for idx, qasm in enumerate(qasm_strs):
+        counts = {}
+        for line in qasm.splitlines():
+            head = line.split('(')[0].split()[0] if line.strip() else ''
+            if head in ('rx', 'ry', 'rz', 'cx'):
+                counts[head] = counts.get(head, 0) + 1
+        pub = {'index': idx,
+               'qasm_sha256': hashlib.sha256(qasm.encode()).hexdigest(),
+               'gate_counts': counts}
+        if labels is not None:
+            pub['label'] = labels[idx]
+        pubs.append(pub)
+    return {
+        'format': 'quanonet-ibm-submission/1',
+        'num_qubits': int(num_qubits),
+        'shots': int(shots),
+        'observable': {'terms': [[s, float(c)] for s, c in terms],
+                       'convention': 'qiskit big-endian'},
+        'postprocess': {'formula': 'pred = evs*coeff + offset + bias',
+                        'coeff': float(coeff), 'offset': float(offset),
+                        'bias': float(bias)},
+        'pubs': pubs,
+    }
 
 
 def ideal_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
-                      ham_bound=(-5.0, 5.0)):
+                      ham_bound=(-5.0, 5.0), ham_pauli='Z', ham_diag=None):
     """Ideal (noise-free) predictions for all trunk points using the fused
     engine — the analog of the reference's StatevectorEstimator step
-    (ibm_inference.py:205-213)."""
+    (ibm_inference.py:205-213).  Supports the full observable surface
+    (ham_pauli X/Y ablation, explicit ham_diag)."""
     import jax
     import jax.numpy as jnp
     from quanonet_tpu.checkpoint import quantum_params_from_raw
@@ -166,7 +313,10 @@ def ideal_predictions(raw, net_size, num_qubits, branch_vec, trunk_points,
     model = QuanONet(num_qubits=num_qubits,
                      branch_input_size=len(branch_vec),
                      trunk_input_size=1, net_size=tuple(net_size),
-                     if_trainable_freq=True, ham_bound=tuple(ham_bound))
+                     if_trainable_freq=True, ham_bound=tuple(ham_bound),
+                     ham_pauli=ham_pauli,
+                     ham_diag=(tuple(float(d) for d in ham_diag)
+                               if ham_diag is not None else None))
     n_pts = len(trunk_points)
     b = jnp.asarray(np.tile(branch_vec, (n_pts, 1)).astype(np.float32))
     t = jnp.asarray(np.asarray(trunk_points, np.float32).reshape(-1, 1))
@@ -329,9 +479,11 @@ def profile_hardware(backend):
 
 
 def submit_to_ibm(qasm_strs, num_qubits, ham_bound, shots=10_000,
-                  min_num_qubits=None):
+                  min_num_qubits=None, ham_pauli='Z', ham_diag=None):
     """Submit exported circuits to the least-busy IBM backend with
     calibration-aware initial layout (reference ibm_inference.py:244-276).
+    The observable supports the full Hamiltonian surface (Z/X/Y simple
+    bounds, explicit ham_diag) via hamiltonian_pauli_terms.
     Requires qiskit + qiskit-ibm-runtime + QISKIT_IBM_TOKEN."""
     if not qiskit_available():
         raise ImportError(
@@ -349,9 +501,9 @@ def submit_to_ibm(qasm_strs, num_qubits, ham_bound, shots=10_000,
     backend = service.least_busy(
         min_num_qubits=min_num_qubits or num_qubits + 1)
     layout = profile_hardware(backend)[:num_qubits]
-    offset, coeff = simple_ham_params(num_qubits, *ham_bound)
-    ham = SparsePauliOp.from_sparse_list(
-        [("Z", [i], 1.0) for i in range(num_qubits)], num_qubits=num_qubits)
+    terms, offset, coeff = hamiltonian_pauli_terms(
+        num_qubits, ham_bound, ham_pauli, ham_diag)
+    ham = SparsePauliOp.from_list(terms)
     pubs = []
     for qasm in qasm_strs:
         qc = QuantumCircuit.from_qasm_str(qasm)

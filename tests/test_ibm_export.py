@@ -127,6 +127,130 @@ def test_qasm_roundtrip_through_independent_parser():
         np.testing.assert_allclose(z2, z1, atol=1e-6)
 
 
+def test_pauli_terms_simple_structure():
+    """Big-endian string placement + affine params match the reference's
+    _build_hamiltonian_op (quantum_circuits_qiskit.py:93-115)."""
+    from quanonet_tpu.ibm_export import hamiltonian_pauli_terms
+    terms, offset, coeff = hamiltonian_pauli_terms(3, (-5, 5), 'Z')
+    assert terms == [('IIZ', 1.0), ('IZI', 1.0), ('ZII', 1.0)]
+    o, c = simple_ham_params(3, -5, 5)
+    assert (offset, coeff) == (o, c)
+    for p in ('X', 'Y'):
+        terms, _, _ = hamiltonian_pauli_terms(2, (-1, 3), p)
+        assert terms == [('I' + p, 1.0), (p + 'I', 1.0)]
+    with pytest.raises(ValueError, match='X|Y|Z'):
+        hamiltonian_pauli_terms(2, (-5, 5), 'W')
+
+
+def test_ham_diag_terms_reconstruct_diagonal():
+    """Walsh–Hadamard export inverts exactly: evaluating the emitted
+    Z-string terms on every computational basis state reproduces the
+    original diagonal (the qiskit-free equivalent of diagonalizing the
+    reference's SparsePauliOp, quantum_circuits_qiskit.py:117-134)."""
+    from quanonet_tpu.ibm_export import hamiltonian_pauli_terms
+    rng = np.random.RandomState(3)
+    n = 3
+    diag = rng.randn(2 ** n)
+    terms, offset, coeff = hamiltonian_pauli_terms(n, ham_diag=diag)
+    assert (offset, coeff) == (0.0, 1.0)
+    rebuilt = np.zeros(2 ** n)
+    for k in range(2 ** n):
+        for string, c in terms:
+            sign = 1.0
+            for pos, ch in enumerate(string):
+                q = n - 1 - pos            # big-endian convention
+                if ch == 'Z' and (k >> q) & 1:
+                    sign = -sign
+            rebuilt[k] += c * sign
+    np.testing.assert_allclose(rebuilt, diag, atol=1e-12)
+    # sparse diag drops ~zero terms but keeps the identity term
+    t2, _, _ = hamiltonian_pauli_terms(1, ham_diag=[2.0, 2.0])
+    assert t2 == [('I', 2.0)]
+    t3, _, _ = hamiltonian_pauli_terms(1, ham_diag=[0.0, 0.0])
+    assert t3 == [('I', 0.0)]
+
+
+@needs_ckpt
+@pytest.mark.parametrize("pauli", ['X', 'Y'])
+def test_xy_export_self_verifies_against_model(pauli):
+    """X/Y-observable replay (reference ham_pauli ablation,
+    quantum_circuits_ms.py:28-39): gate-level simulation of the exported
+    circuit + the exported observable == the engine's own model output,
+    checked BOTH through simulate_gate_list's direct <Σ P_i> path and
+    through the independent Pauli-term estimator double."""
+    from quanonet_tpu.ibm_export import (
+        hamiltonian_pauli_terms, pauli_term_expectations,
+    )
+    raw = load_raw(CKPT)
+    tw, bw, coeffs, bias = unpack_quanonet_weights(raw, [5, 1, 5, 1], 2)
+    branch = np.linspace(0, 1, 10)
+    trunk_pts = np.asarray([0.1, 0.8])
+    ideal = ideal_predictions(raw, [5, 1, 5, 1], 2, branch, trunk_pts,
+                              ham_pauli=pauli)
+    terms, offset, coeff = hamiltonian_pauli_terms(2, (-5, 5), pauli)
+    for k, t in enumerate(trunk_pts):
+        n, ops = build_gate_list(branch, [t], tw, bw, coeffs)
+        psum = simulate_gate_list(n, ops, ham_pauli=pauli)
+        np.testing.assert_allclose(psum * coeff + offset + bias,
+                                   ideal[k], atol=1e-4)
+        est = pauli_term_expectations(n, ops, terms)
+        np.testing.assert_allclose(est, psum, atol=1e-6)
+
+
+@needs_ckpt
+def test_ham_diag_export_self_verifies_against_model():
+    """Explicit-diagonal observable: engine model output == direct
+    <diag> replay == Walsh–Hadamard Pauli-term estimator double (pins
+    the diag-index <-> qubit-bit convention end to end)."""
+    from quanonet_tpu.ibm_export import (
+        hamiltonian_pauli_terms, pauli_term_expectations,
+    )
+    raw = load_raw(CKPT)
+    tw, bw, coeffs, bias = unpack_quanonet_weights(raw, [5, 1, 5, 1], 2)
+    branch = np.cos(np.pi * np.linspace(0, 1, 10))
+    diag = [1.5, -2.0, 0.25, 4.0]
+    trunk_pts = np.asarray([0.0, 0.6])
+    ideal = ideal_predictions(raw, [5, 1, 5, 1], 2, branch, trunk_pts,
+                              ham_diag=diag)
+    terms, offset, coeff = hamiltonian_pauli_terms(2, ham_diag=diag)
+    for k, t in enumerate(trunk_pts):
+        n, ops = build_gate_list(branch, [t], tw, bw, coeffs)
+        hval = simulate_gate_list(n, ops, ham_diag=diag)
+        np.testing.assert_allclose(hval + bias, ideal[k], atol=1e-4)
+        est = pauli_term_expectations(n, ops, terms)
+        np.testing.assert_allclose(est, hval, atol=1e-6)
+
+
+GOLDEN_MANIFEST = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               'fixtures', 'golden_manifest_antideriv.json')
+
+
+@needs_ckpt
+def test_submission_manifest_golden():
+    """Multi-pub submission assembly is pinned as a committed JSON golden:
+    per-circuit QASM hashes, gate counts, observable terms, shot budget,
+    and the classical postprocess (reference ibm_inference.py:269-276
+    pub structure)."""
+    import json
+    from quanonet_tpu.ibm_export import submission_manifest, to_qasm2
+    raw = load_raw(CKPT)
+    tw, bw, coeffs, bias = unpack_quanonet_weights(raw, [5, 1, 5, 1], 2)
+    branch = np.linspace(0, 1, 10)
+    qasms, labels = [], []
+    for t in (0.0, 0.5, 1.0):
+        n, ops = build_gate_list(branch, [t], tw, bw, coeffs)
+        qasms.append(to_qasm2(n, ops))
+        labels.append(f"trunk={t}")
+    manifest = submission_manifest(qasms, 2, (-5.0, 5.0), shots=10_000,
+                                   bias=bias, labels=labels)
+    assert manifest['postprocess']['bias'] == pytest.approx(bias)
+    assert [p['gate_counts'] for p in manifest['pubs']] == [
+        {'rx': 20, 'ry': 40, 'rz': 20, 'cx': 20}] * 3
+    with open(GOLDEN_MANIFEST) as f:
+        golden = json.load(f)
+    assert manifest == golden
+
+
 @needs_ckpt
 def test_export_self_verifies_against_model():
     """Gate-level replay of the folded circuit == fused-engine model

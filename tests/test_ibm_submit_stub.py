@@ -113,6 +113,10 @@ class _SparsePauliOp:
     def from_sparse_list(cls, terms, num_qubits):
         return cls(terms, num_qubits)
 
+    @classmethod
+    def from_list(cls, terms):
+        return cls(terms, len(terms[0][0]))
+
     def apply_layout(self, layout):
         return ('ham@', layout, self.num_qubits)
 
@@ -207,6 +211,34 @@ def test_submit_to_ibm_assembles_one_pub_per_circuit(monkeypatch):
     for (isa, obs), qasm in zip(est.ran, qasms):
         assert isa.source.qasm == qasm
         assert obs == [('ham@', isa.layout, 2)]
+
+
+def test_submit_to_ibm_threads_xy_and_hamdiag_observables(monkeypatch):
+    """The full Hamiltonian surface reaches the pub assembly: X-basis
+    simple bounds and an explicit ham_diag produce the same SparsePauliOp
+    terms hamiltonian_pauli_terms emits (big-endian convention)."""
+    _Estimator.instances.clear()
+    service, _ = _install_stubs(monkeypatch, _three_qubit_backend())
+    qasm = ibm_export.to_qasm2(2, [('rx', 0, 0.3)])
+
+    job, offset, coeff = ibm_export.submit_to_ibm(
+        [qasm], num_qubits=2, ham_bound=(-3, 3), ham_pauli='X')
+    o, c = simple_ham_params(2, -3, 3)
+    assert (offset, coeff) == (o, c)
+    # the pub's observable went through from_list(terms) + apply_layout
+    assert _Estimator.instances[-1].ran[0][1][0][0] == 'ham@'
+    terms, _, _ = ibm_export.hamiltonian_pauli_terms(2, (-3, 3), 'X')
+    assert terms == [('IX', 1.0), ('XI', 1.0)]
+
+    _Estimator.instances.clear()
+    diag = [2.0, -1.0, 0.5, 3.0]
+    job, offset, coeff = ibm_export.submit_to_ibm(
+        [qasm], num_qubits=2, ham_bound=(-5, 5), ham_diag=diag)
+    assert (offset, coeff) == (0.0, 1.0)   # diag evs ARE <H>
+    terms, _, _ = ibm_export.hamiltonian_pauli_terms(2, ham_diag=diag)
+    # WH of [2,-1,.5,3]: II=1.125, IZ(q0)=.125, ZI(q1)=-.625, ZZ=1.375
+    assert dict(terms) == pytest.approx(
+        {'II': 1.125, 'IZ': 0.125, 'ZI': -0.625, 'ZZ': 1.375})
 
 
 def test_submit_to_ibm_without_qiskit_raises(monkeypatch):
