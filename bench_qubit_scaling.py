@@ -127,7 +127,7 @@ def main():
         (5,  (40, 2, 20, 2), ('pallas', 'embed', 'fused'), 100, True, 200),
         (8,  (40, 2, 20, 2), ('pallas', 'fused', 'pfused'), 100, True, 100),
         (10, (40, 2, 20, 2), ('dense', 'fused', 'pfused'), 100, True, 20),
-        (12, (10, 2, 10, 2), ('fused',), 100, True, 20),
+        (12, (10, 2, 10, 2), ('fused', 'pfused'), 100, True, 20),
         (14, (5, 2, 5, 2), ('fused',), 32, True, 10),
         # Q16 TRAINS on one chip: fused engine + remat
         # (ops/fused_gates.py:195-213) keeps the backward working set

@@ -280,7 +280,34 @@ def test_pfused_engine():
     ok2 = df2 <= FWD_TOL_QUANTUM and dg2 <= GRAD_TOL
     report("Q8 fused≡pfused (2-tile grid)", ok2,
            f"(fwd {df2:.2e}, grad {dg2:.2e})")
-    return ok and ok2
+
+    # Q12 butterfly mode (hi=32): ⊗-factorized high group + class-
+    # stacked ring + (n_sub, nh, 4) cotangent accumulation — the Mosaic
+    # gate for the bfly layout ON HARDWARE (tiny net keeps the tunnel
+    # compile bounded).
+    spec12 = quanonet_spec(12, (2, 1, 1, 1))
+    w12 = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                  spec12.weight_shape()).astype(np.float32))
+    x12 = jnp.asarray(rng.uniform(-2, 2,
+                                  (4, spec12.total_encode)).astype(np.float32))
+    diag12 = jnp.asarray(simple_ham_diag(12, -5, 5))
+
+    def one12(eng):
+        out = np.asarray(hea_expectation(spec12, w12, x12, diag=diag12,
+                                         engine=eng))
+        g = np.asarray(jax.grad(
+            lambda w_: jnp.sum(hea_expectation(spec12, w_, x12, diag=diag12,
+                                               engine=eng) ** 2))(w12))
+        return out, g
+
+    o5, g5 = one12('fused')
+    o6, g6 = one12('pfused')
+    df3 = np.abs(o5 - o6).max()
+    dg3 = np.abs(g5 - g6).max()
+    ok3 = df3 <= FWD_TOL_QUANTUM and dg3 <= GRAD_TOL
+    report("Q12 fused≡pfused (butterfly)", ok3,
+           f"(fwd {df3:.2e}, grad {dg3:.2e})")
+    return ok and ok2 and ok3
 
 
 def test_classical_models():

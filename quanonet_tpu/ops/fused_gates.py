@@ -191,6 +191,39 @@ def _apply_hadamard(sr, si, groups, n_qubits):
     return sr, si
 
 
+def _first_in_block(spec):
+    """Bool mask over sublayers: first-in-block (gets the encode-H fold)."""
+    first = np.zeros(spec.total_sublayers, bool)
+    s = 0
+    for _, ld in spec.block_configs:
+        if ld > 0:
+            first[s] = True
+        s += ld
+    return first
+
+
+def build_high_rot2x2(spec, weights, off):
+    """Per-qubit complex 2x2 rotations of qubits [off, n) for every
+    sublayer, with the encode Hadamard right-folded into first-in-block
+    sublayers — the ⊗-factorized form of the high group unitary (the
+    dense (2^k, 2^k) group matrix is exactly ⊗_j of these).  Returns
+    (u2r, u2i), each (S, n-off, 4) float32 with entries
+    [u00, u01, u10, u11].  Consumed by the pfused butterfly path
+    (ops/pallas_fused.py), which applies the high group as n-off
+    row-block butterflies instead of a dense (2^k)^2 contraction."""
+    rr, ri = jax.vmap(_rot2x2)(weights)            # (S, n, 2, 2)
+    h = jnp.asarray(_H2)
+    fr = jnp.einsum('snij,jk->snik', rr, h)
+    fi = jnp.einsum('snij,jk->snik', ri, h)
+    fold = jnp.asarray(_first_in_block(spec))[:, None, None, None]
+    rr = jnp.where(fold, fr, rr)
+    ri = jnp.where(fold, fi, ri)
+    s = spec.total_sublayers
+    n = spec.n_qubits
+    return (rr[:, off:].reshape(s, n - off, 4),
+            ri[:, off:].reshape(s, n - off, 4))
+
+
 def build_group_unitaries(spec, weights):
     """All sublayer group unitaries up front.
 
@@ -200,12 +233,7 @@ def build_group_unitaries(spec, weights):
     """
     groups = qubit_groups(spec.n_qubits)
     # mark which sublayers are first-in-block (get the H fold)
-    first = np.zeros(spec.total_sublayers, bool)
-    s = 0
-    for _, ld in spec.block_configs:
-        if ld > 0:
-            first[s] = True
-        s += ld
+    first = _first_in_block(spec)
 
     rr, ri = jax.vmap(_rot2x2)(weights)       # (S, n, 2, 2) each
 

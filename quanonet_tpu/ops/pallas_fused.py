@@ -1,5 +1,5 @@
 """
-Pallas fused-group chain kernel for mid-size qubit counts (Q8-Q11).
+Pallas fused-group chain kernel for mid-size qubit counts (Q8-Q13).
 
 The XLA fused engine (ops/fused_gates.py) is HBM-bandwidth-bound: each
 sublayer makes ~6 full passes over the (batch, 2^n) state (grouped
@@ -15,13 +15,23 @@ tiles, rows = h*bt + b where l = basis bits 0-6 (lanes) and h = bits
 
   * low group (k=7):  one Karatsuba (3 MXU matmuls) against the
     pre-transposed (128, 128) group unitary — full lane-tile contraction;
-  * high group (k=n-7): hi^2 complex scalar FMAs across the row blocks
-    (the (hi, hi) unitary entries broadcast on the VPU);
+  * high group (k=n-7), hi <= 16: hi^2 complex scalar FMAs across the
+    row blocks (the (hi, hi) unitary entries broadcast on the VPU);
+  * high group, hi > 16 (Q12+, "bfly mode"): the dense form scales
+    quadratically in hi, but the group unitary is a TENSOR PRODUCT of
+    per-qubit 2x2 rotations (fused_gates.build_high_rot2x2) — applied
+    as n-7 row-block butterflies, O(hi·(n-7)) VPU work with 4 streamed
+    scalars per qubit; the high Hadamard becomes log2(hi) add/sub
+    butterflies the same way;
   * CNOT ring: the permutation is GF(2)-linear, so per destination row
     block it is a LANE permutation selected by one h bit plus a
     lane-parity-masked row-block swap.  Both are baked as 4 distinct
     one-hot (128, 128) f32 matrices (exact: each output element is
     1.0 x input) — masked permutation matmuls instead of the HBM gather.
+    In bfly mode the per-dest small dots (2·hi of them — issue-bound
+    past hi=16) are regrouped class-stacked: per distinct one-hot
+    matrix, a free list-gather of source row blocks then ONE
+    (hi·bt, 128) matmul.
 
 The backward is a hand-written VJP (autodiff cannot see through a Pallas
 kernel): block-input states are saved to HBM on the forward pass and each
@@ -59,11 +69,26 @@ from quanonet_tpu.ops.pallas_hea import (
 
 LANE_QUBITS = 7
 MIN_QUBITS = 8
-MAX_QUBITS = 11          # hi = 2^(n-7) <= 16 keeps the VPU FMA fan-in sane
-AUTO_MAX_QUBITS = 11     # auto-dispatch cap = MAX_QUBITS: measured 3.7x /
-#                          1.9x / 1.3x the XLA fused path at Q8/Q10/Q11
-#                          on v5e (Q11 Net10-2-10-2: 47.6K vs 36.1K)
+MAX_QUBITS = 13          # Q12-13 use the butterfly high-group path below
+BFLY_MIN_QUBITS = 12     # hi > 16: dense hi^2 FMA fan-in stops scaling —
+#                          switch to ⊗-factorized butterflies + class-
+#                          stacked ring (PFUSED_BFLY=0/1 overrides for A/B)
+AUTO_MAX_QUBITS = 12     # auto-dispatch cap: measured 3.7x/1.9x/1.3x the
+#                          XLA fused path at Q8/Q10/Q11 on v5e (Q11
+#                          Net10-2-10-2: 47.6K vs 36.1K), and 1.65x at
+#                          Q12 via the butterfly path (27,143 vs 16,442
+#                          samples/s, Net10-2-10-2 bs=100 — which also
+#                          compiles in 24 s vs the fused+remat program's
+#                          ~800 s).  Q13 works (exactness-tested) but
+#                          stays opt-in until measured on-chip.
 VMEM_BUDGET = 64 * 1024 * 1024   # per-tile working-set target
+
+
+def _bfly_mode(n_qubits: int) -> bool:
+    env = os.environ.get('PFUSED_BFLY')
+    if env is not None:
+        return env == '1' and n_qubits > LANE_QUBITS
+    return n_qubits >= BFLY_MIN_QUBITS
 
 
 # ── ring decomposition ───────────────────────────────────────────────────────
@@ -207,6 +232,180 @@ def _apply_high_adj(sr, si, uhr, uhi, hi, bt):
     return jnp.concatenate(nr, 0), jnp.concatenate(ni, 0)
 
 
+# ── butterfly (⊗-factorized) high-group path, used for n_qubits >= 12 ───────
+# The high group unitary is a tensor product of per-qubit 2x2 rotations
+# (fused_gates.build_high_rot2x2), so instead of the dense hi^2 scalar-FMA
+# contraction (which scales quadratically in hi and dominates past hi=16)
+# it is applied as n-7 row-block butterflies: per high qubit j,
+# out[h] = u[a,a]·s[h] + u[a,1-a]·s[h^bit] with a = bit_j(h) — O(hi·nh)
+# VPU work and O(nh) streamed scalars per sublayer.
+
+def _apply_high_bfly(sr, si, u2r, u2i, hi, bt, nh):
+    """⊗_j u_j across row blocks via nh butterflies.  u2r/u2i: traced
+    (nh, 4) with entries [u00, u01, u10, u11] per high qubit."""
+    srs, sis = _split(sr, hi, bt), _split(si, hi, bt)
+    for j in range(nh):
+        bit = 1 << j
+        nr, ni = [None] * hi, [None] * hi
+        d = [(u2r[j, 0], u2i[j, 0]), (u2r[j, 3], u2i[j, 3])]
+        o = [(u2r[j, 1], u2i[j, 1]), (u2r[j, 2], u2i[j, 2])]
+        for h in range(hi):
+            a = (h >> j) & 1
+            p = h ^ bit
+            dr, di = d[a]
+            orr, oi = o[a]
+            nr[h] = (dr * srs[h] - di * sis[h]
+                     + orr * srs[p] - oi * sis[p])
+            ni[h] = (dr * sis[h] + di * srs[h]
+                     + orr * sis[p] + oi * srs[p])
+        srs, sis = nr, ni
+    return jnp.concatenate(srs, 0), jnp.concatenate(sis, 0)
+
+
+def _apply_high_bfly_adj(ctr, cti, u2r, u2i, hi, bt, nh):
+    """Adjoint (U^H = ⊗_j u_j^H): ct[h] <- conj(u[a,a])·ct[h]
+    + conj(u[1-a,a])·ct[p]."""
+    crs, cis = _split(ctr, hi, bt), _split(cti, hi, bt)
+    for j in range(nh - 1, -1, -1):
+        bit = 1 << j
+        nr, ni = [None] * hi, [None] * hi
+        d = [(u2r[j, 0], u2i[j, 0]), (u2r[j, 3], u2i[j, 3])]
+        o = [(u2r[j, 2], u2i[j, 2]), (u2r[j, 1], u2i[j, 1])]  # u[1-a, a]
+        for h in range(hi):
+            a = (h >> j) & 1
+            p = h ^ bit
+            dr, di = d[a]
+            orr, oi = o[a]
+            nr[h] = (dr * crs[h] + di * cis[h]
+                     + orr * crs[p] + oi * cis[p])
+            ni[h] = (dr * cis[h] - di * crs[h]
+                     + orr * cis[p] - oi * crs[p])
+        crs, cis = nr, ni
+    return jnp.concatenate(crs, 0), jnp.concatenate(cis, 0)
+
+
+def _high_bfly_stages(sr, si, u2r, u2i, hi, bt, nh):
+    """Forward butterfly keeping the per-qubit input states (backward
+    recompute): returns (out_r, out_i, stages) with stages[j] = the
+    (srs, sis) row-block lists BEFORE qubit j's butterfly."""
+    srs, sis = _split(sr, hi, bt), _split(si, hi, bt)
+    stages = []
+    for j in range(nh):
+        stages.append((srs, sis))
+        bit = 1 << j
+        nr, ni = [None] * hi, [None] * hi
+        d = [(u2r[j, 0], u2i[j, 0]), (u2r[j, 3], u2i[j, 3])]
+        o = [(u2r[j, 1], u2i[j, 1]), (u2r[j, 2], u2i[j, 2])]
+        for h in range(hi):
+            a = (h >> j) & 1
+            p = h ^ bit
+            dr, di = d[a]
+            orr, oi = o[a]
+            nr[h] = (dr * srs[h] - di * sis[h]
+                     + orr * srs[p] - oi * sis[p])
+            ni[h] = (dr * sis[h] + di * srs[h]
+                     + orr * sis[p] + oi * srs[p])
+        srs, sis = nr, ni
+    return jnp.concatenate(srs, 0), jnp.concatenate(sis, 0), stages
+
+
+def _high_bfly_bar(ctr, cti, u2r, u2i, stages, hi, bt, nh):
+    """Backward through the butterfly: cotangents of the (nh, 4) high
+    2x2 entries AND the propagated state cotangent, in one reverse walk.
+
+    ubar[j, 2a+b] = Σ_{h: bit_j(h)=a} ct_j[h] · conj(s_in_j[h with
+    bit->b]) with ct_j the cotangent arriving at qubit j's OUTPUT;
+    stages[j] = the row-block lists before qubit j's butterfly (from
+    _high_bfly_stages).  Returns (ubar_r (nh, 4), ubar_i (nh, 4),
+    ctr, cti)."""
+    crs, cis = _split(ctr, hi, bt), _split(cti, hi, bt)
+    ubar_r = [None] * nh
+    ubar_i = [None] * nh
+    for j in range(nh - 1, -1, -1):
+        bit = 1 << j
+        brs, bis = stages[j]
+        # entry cotangents: accumulate elementwise, reduce once per entry
+        acc = [[None, None] for _ in range(4)]
+        for h in range(hi):
+            a = (h >> j) & 1
+            p = h ^ bit
+            for b, xr, xi in ((a, brs[h], bis[h]),
+                              (1 - a, brs[p], bis[p])):
+                e = 2 * a + b
+                tr = crs[h] * xr + cis[h] * xi
+                ti = cis[h] * xr - crs[h] * xi
+                acc[e][0] = tr if acc[e][0] is None else acc[e][0] + tr
+                acc[e][1] = ti if acc[e][1] is None else acc[e][1] + ti
+        ubar_r[j] = jnp.stack([jnp.sum(acc[e][0]) for e in range(4)])
+        ubar_i[j] = jnp.stack([jnp.sum(acc[e][1]) for e in range(4)])
+        # adjoint-propagate ct through qubit j: u_j^H butterfly
+        d = [(u2r[j, 0], u2i[j, 0]), (u2r[j, 3], u2i[j, 3])]
+        o = [(u2r[j, 2], u2i[j, 2]), (u2r[j, 1], u2i[j, 1])]  # u[1-a, a]
+        nr, ni = [None] * hi, [None] * hi
+        for h in range(hi):
+            a = (h >> j) & 1
+            p = h ^ bit
+            dr, di = d[a]
+            orr, oi = o[a]
+            nr[h] = (dr * crs[h] + di * cis[h]
+                     + orr * crs[p] + oi * cis[p])
+            ni[h] = (dr * cis[h] - di * crs[h]
+                     + orr * cis[p] - oi * crs[p])
+        crs, cis = nr, ni
+    return (jnp.stack(ubar_r), jnp.stack(ubar_i),
+            jnp.concatenate(crs, 0), jnp.concatenate(cis, 0))
+
+
+def _apply_had_high_bfly(sr, si, hi, bt):
+    """H^{⊗(n-7)} across row blocks as log2(hi) add/sub butterflies
+    (replaces the hi^2 sign-add sweep of _apply_h's high part); the
+    2^{-nh/2} scale is applied once at the end."""
+    nh = hi.bit_length() - 1
+    srs, sis = _split(sr, hi, bt), _split(si, hi, bt)
+    for j in range(nh):
+        bit = 1 << j
+        nr, ni = [None] * hi, [None] * hi
+        for h in range(hi):
+            p = h ^ bit
+            if (h >> j) & 1:
+                nr[h] = srs[p] - srs[h]
+                ni[h] = sis[p] - sis[h]
+            else:
+                nr[h] = srs[h] + srs[p]
+                ni[h] = sis[h] + sis[p]
+        srs, sis = nr, ni
+    scale = float(2.0 ** (-nh / 2.0))
+    return (jnp.concatenate(srs, 0) * scale,
+            jnp.concatenate(sis, 0) * scale)
+
+
+def _ring_stacked(sr, si, hi, bt, plan, mats, zero):
+    """Class-stacked ring: for each distinct one-hot lane matrix, gather
+    the source row blocks (a free list permutation, zero rows where a
+    dest block does not use that class) and apply ONE (hi·bt, 128) lane
+    matmul — 2·n_mats big dots instead of 2·2·hi small ones (the small-
+    dot form is issue-bound past hi=16)."""
+    srs, sis = _split(sr, hi, bt), _split(si, hi, bt)
+    accr = acci = None
+    for mi in range(len(mats)):
+        rows_r, rows_i = [zero] * hi, [zero] * hi
+        used = False
+        for h, entry in enumerate(plan):
+            for src_h, m in entry:
+                if m == mi:
+                    rows_r[h], rows_i[h] = srs[src_h], sis[src_h]
+                    used = True
+        if not used:
+            continue
+        ar = jnp.concatenate(rows_r, 0)
+        ai = jnp.concatenate(rows_i, 0)
+        tr = jnp.dot(ar, mats[mi], preferred_element_type=jnp.float32)
+        ti = jnp.dot(ai, mats[mi], preferred_element_type=jnp.float32)
+        accr = tr if accr is None else accr + tr
+        acci = ti if acci is None else acci + ti
+    return accr, acci
+
+
 def _ring(sr, si, hi, bt, plan, mats):
     if hi == 1:
         return (jnp.dot(sr, mats[0], preferred_element_type=jnp.float32),
@@ -267,42 +466,66 @@ def _static_unroll() -> bool:
     return os.environ.get('PFUSED_STATIC') == '1'
 
 
-def _fwd_kernel(n_qubits, runs, bt, save_residuals=True, use_bf16=False):
+def _fwd_kernel(n_qubits, runs, bt, save_residuals=True, use_bf16=False,
+                bfly=False):
     """save_residuals=False builds the primal-only variant (inference /
     no-grad callers): skips the (nb, hb, 128) block-input saves — 51 MB
-    of HBM writes per Q10/bs128 call that only the backward reads."""
+    of HBM writes per Q10/bs128 call that only the backward reads.
+    bfly=True switches the high group to ⊗-factorized butterflies, the
+    high Hadamard to add/sub butterflies, and the ring to the class-
+    stacked big-dot form (the Q12+ layout; uhr/uhi refs then carry the
+    (n_sub, n-7, 4) per-qubit 2x2 entries)."""
     hi, _, hsign, hscale, fplan, fmats_np, _, _ = _consts(n_qubits)
     n_fm = fmats_np.shape[0]
+    nh = n_qubits - LANE_QUBITS
     _kara = _make_kara(use_bf16)
 
     def kernel(h7_ref, fm_ref, u7t_r_ref, u7t_i_ref, uhr_ref, uhi_ref,
                phi_ref, sr_out, si_out, str_out=None, sti_out=None):
         h7 = h7_ref[:]
         fmats = [fm_ref[i] for i in range(n_fm)]
+        zero = jnp.zeros((bt, 128), jnp.float32)
         col = jax.lax.broadcasted_iota(jnp.int32, (hi * bt, 128), 1)
         row = jax.lax.broadcasted_iota(jnp.int32, (hi * bt, 128), 0)
         sr = jnp.where((col == 0) & (row < bt), 1.0, 0.0)  # |0...0>
         si = jnp.zeros((hi * bt, 128), jnp.float32)
 
+        def apply_h(sr, si):
+            if bfly and hi > 1:
+                sr = jnp.dot(sr, h7, preferred_element_type=jnp.float32)
+                si = jnp.dot(si, h7, preferred_element_type=jnp.float32)
+                return _apply_had_high_bfly(sr, si, hi, bt)
+            return _apply_h(sr, si, hi, bt, h7, hsign, hscale)
+
+        def ring(sr, si):
+            if bfly and hi > 1:
+                return _ring_stacked(sr, si, hi, bt, fplan, fmats, zero)
+            return _ring(sr, si, hi, bt, fplan, fmats)
+
         def block(sr, si, b, s0, ld):
             if save_residuals:
                 str_out[pl.ds(b, 1)] = sr.reshape(1, hi * bt, 128)
                 sti_out[pl.ds(b, 1)] = si.reshape(1, hi * bt, 128)
-            sr, si = _apply_h(sr, si, hi, bt, h7, hsign, hscale)
+            sr, si = apply_h(sr, si)
             sr, si = _apply_diag(sr, si, phi_ref[pl.ds(b, 1)][0])
             if ld == 0:  # encoding-only block: trailing left Hadamard
-                return _apply_h(sr, si, hi, bt, h7, hsign, hscale)
+                return apply_h(sr, si)
             for d in range(ld):
                 s_idx = s0 + d
                 ur = u7t_r_ref[pl.ds(s_idx, 1)][0]
                 ui = u7t_i_ref[pl.ds(s_idx, 1)][0]
                 sr, si = _kara(sr, si, ur, ui)
                 if hi > 1:
-                    sr, si = _apply_high(sr, si,
-                                         uhr_ref[pl.ds(s_idx, 1)][0],
-                                         uhi_ref[pl.ds(s_idx, 1)][0],
-                                         hi, bt)
-                sr, si = _ring(sr, si, hi, bt, fplan, fmats)
+                    if bfly:
+                        sr, si = _apply_high_bfly(
+                            sr, si, uhr_ref[pl.ds(s_idx, 1)][0],
+                            uhi_ref[pl.ds(s_idx, 1)][0], hi, bt, nh)
+                    else:
+                        sr, si = _apply_high(sr, si,
+                                             uhr_ref[pl.ds(s_idx, 1)][0],
+                                             uhi_ref[pl.ds(s_idx, 1)][0],
+                                             hi, bt)
+                sr, si = ring(sr, si)
             return sr, si
 
         if _static_unroll():
@@ -321,10 +544,11 @@ def _fwd_kernel(n_qubits, runs, bt, save_residuals=True, use_bf16=False):
     return kernel
 
 
-def _bwd_kernel(n_qubits, runs, bt, use_bf16=False):
+def _bwd_kernel(n_qubits, runs, bt, use_bf16=False, bfly=False):
     hi, _, hsign, hscale, fplan, fmats_np, bplan, bmats_np = \
         _consts(n_qubits)
     n_fm, n_bm = fmats_np.shape[0], bmats_np.shape[0]
+    nh = n_qubits - LANE_QUBITS
     _kara = _make_kara(use_bf16)
 
     def kernel(h7_ref, fm_ref, bm_ref, u7t_r_ref, u7t_i_ref,
@@ -344,41 +568,77 @@ def _bwd_kernel(n_qubits, runs, bt, use_bf16=False):
 
         ctr = gr_ref[:]
         cti = gi_ref[:]
+        zero = jnp.zeros((bt, 128), jnp.float32)
+
+        def apply_h(sr, si):
+            if bfly and hi > 1:
+                sr = jnp.dot(sr, h7, preferred_element_type=jnp.float32)
+                si = jnp.dot(si, h7, preferred_element_type=jnp.float32)
+                return _apply_had_high_bfly(sr, si, hi, bt)
+            return _apply_h(sr, si, hi, bt, h7, hsign, hscale)
+
+        def ring_f(sr, si):
+            if bfly and hi > 1:
+                return _ring_stacked(sr, si, hi, bt, fplan, fmats, zero)
+            return _ring(sr, si, hi, bt, fplan, fmats)
+
+        def ring_b(sr, si):
+            if bfly and hi > 1:
+                return _ring_stacked(sr, si, hi, bt, bplan, bmats, zero)
+            return _ring(sr, si, hi, bt, bplan, bmats)
 
         def block_bwd(ctr, cti, b, s0, ld):
             # recompute the block's stage states from the saved input
             sr = str_ref[pl.ds(b, 1)][0]
             si = sti_ref[pl.ds(b, 1)][0]
-            sr, si = _apply_h(sr, si, hi, bt, h7, hsign, hscale)
+            sr, si = apply_h(sr, si)
             pre_diag = (sr, si)
             phi = phi_ref[pl.ds(b, 1)][0]
             pr = jnp.cos(phi)
             pi = -jnp.sin(phi)
             sr, si = pr * sr - pi * si, pr * si + pi * sr
-            stages = []   # per depth: (pre_low, post_low)
+            stages = []   # per depth: (pre_low, post_low | bfly stages)
             for d in range(ld):
                 s_idx = s0 + d
                 pre = (sr, si)
                 sr, si = _kara(sr, si, u7t_r_ref[pl.ds(s_idx, 1)][0],
                                u7t_i_ref[pl.ds(s_idx, 1)][0])
-                post = (sr, si)
-                if hi > 1:
-                    sr, si = _apply_high(sr, si,
-                                         uhr_ref[pl.ds(s_idx, 1)][0],
-                                         uhi_ref[pl.ds(s_idx, 1)][0],
-                                         hi, bt)
-                sr, si = _ring(sr, si, hi, bt, fplan, fmats)
+                if hi > 1 and bfly:
+                    sr, si, bsts = _high_bfly_stages(
+                        sr, si, uhr_ref[pl.ds(s_idx, 1)][0],
+                        uhi_ref[pl.ds(s_idx, 1)][0], hi, bt, nh)
+                    post = bsts
+                else:
+                    post = (sr, si)
+                    if hi > 1:
+                        sr, si = _apply_high(sr, si,
+                                             uhr_ref[pl.ds(s_idx, 1)][0],
+                                             uhi_ref[pl.ds(s_idx, 1)][0],
+                                             hi, bt)
+                sr, si = ring_f(sr, si)
                 stages.append((pre, post))
 
             if ld == 0:  # trailing H of an encoding-only block
-                ctr, cti = _apply_h(ctr, cti, hi, bt, h7, hsign, hscale)
+                ctr, cti = apply_h(ctr, cti)
 
             for d in range(ld - 1, -1, -1):
                 s_idx = s0 + d
-                (plr, pli), (por, poi) = stages[d]
+                (plr, pli), post = stages[d]
                 # ring^T = inverse permutation
-                ctr, cti = _ring(ctr, cti, hi, bt, bplan, bmats)
-                if hi > 1:
+                ctr, cti = ring_b(ctr, cti)
+                if hi > 1 and bfly:
+                    u2r = uhr_ref[pl.ds(s_idx, 1)][0]
+                    u2i = uhi_ref[pl.ds(s_idx, 1)][0]
+                    ubr, ubi, ctr, cti = _high_bfly_bar(
+                        ctr, cti, u2r, u2i, post, hi, bt, nh)
+                    cur_r = uhbar_r_out[pl.ds(s_idx, 1)]
+                    cur_i = uhbar_i_out[pl.ds(s_idx, 1)]
+                    uhbar_r_out[pl.ds(s_idx, 1)] = (
+                        cur_r + ubr.reshape(1, nh, 4))
+                    uhbar_i_out[pl.ds(s_idx, 1)] = (
+                        cur_i + ubi.reshape(1, nh, 4))
+                elif hi > 1:
+                    por, poi = post
                     uhr = uhr_ref[pl.ds(s_idx, 1)][0]
                     uhi = uhi_ref[pl.ds(s_idx, 1)][0]
                     # uhbar[h, h2] = sum ct_h * conj(S_postlow_h2)
@@ -455,29 +715,33 @@ def _untile_rows(a, hi, bt, n_tiles):
             .reshape(n_tiles * bt, hi * 128))
 
 
-def _workset_bytes(nb, n_sub, hi, bt, primal=False):
+def _workset_bytes(nb, n_sub, hi, bt, primal=False, bfly=False):
     """Per-tile VMEM bytes.  For the train path the backward is the
     high-water mark: resident unitaries + their cotangent accumulators,
     per-tile phi/saved/grad/phibar slabs, ~8 live (hi*bt, 128)
     temporaries, ring constants.  The primal-only forward carries no
     residual saves or accumulators, so it can run much larger tiles
     (often the whole batch in one — measured ~20% faster at Q10, the
-    per-extra-grid-step cost being ~60 us)."""
+    per-extra-grid-step cost being ~60 us).  The bfly backward keeps the
+    per-qubit butterfly input states of one sublayer live
+    (+ (n-7+1) rows per component)."""
     row = hi * bt * 128 * 4
+    extra = (2 * (hi.bit_length() - 1 + 1) * row) if bfly else 0
     if primal:
         return (2 * n_sub * 128 * 128 * 4 + (nb + 2) * row
                 + 8 * row + 8 * 128 * 128 * 4)
     mats = 4 * n_sub * 128 * 128 * 4          # u7t pair + u7bar pair
     slabs = (3 * nb + 2 + nb) * row           # phi+str+sti, g, phibar
-    return mats + slabs + 8 * row + 8 * 128 * 128 * 4
+    return mats + slabs + 8 * row + extra + 8 * 128 * 128 * 4
 
 
-def _pick_bt(nb, n_sub, hi, batch, primal=False):
+def _pick_bt(nb, n_sub, hi, batch, primal=False, bfly=False):
     env = os.environ.get('PFUSED_BT')   # A/B override for tile tuning
     if env:
         return int(env)
     bt = max(8, -(-batch // 8) * 8)
-    while bt > 8 and _workset_bytes(nb, n_sub, hi, bt, primal) > VMEM_BUDGET:
+    while bt > 8 and _workset_bytes(nb, n_sub, hi, bt, primal,
+                                    bfly) > VMEM_BUDGET:
         bt = max(8, (bt // 2 + 7) // 8 * 8)
         if bt == 8:
             break
@@ -485,29 +749,33 @@ def _pick_bt(nb, n_sub, hi, batch, primal=False):
 
 
 @lru_cache(maxsize=32)
-def _make_chain(n_qubits, block_configs, batch, use_bf16=False):
+def _make_chain(n_qubits, block_configs, batch, use_bf16=False,
+                bfly=False):
     """custom-vjp fused-group chain for a fixed spec and batch:
     (u7t_r, u7t_i, uh_r, uh_i, phi) -> (sr, si), phi and the outputs in
     plain (nb, batch, 2^n) / (batch, 2^n) layout.  Batch padding and the
     row tiling live INSIDE each branch so the primal-only forward can
     pick a larger tile than the residual-laden train path (no residual
     saves -> the whole batch usually fits one tile; measured ~20%
-    faster at Q10)."""
+    faster at Q10).  In bfly mode uh_r/uh_i are the (n_sub, n-7, 4)
+    per-qubit 2x2 entries instead of dense (n_sub, hi, hi) matrices."""
     runs = _runs(block_configs)
     nb = len(block_configs)
     n_sub = sum(ld for _, ld in block_configs)
     hi = 2 ** (n_qubits - LANE_QUBITS)
+    nh = n_qubits - LANE_QUBITS
     vmem = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
     _, h7_np, _, _, _, fmats_np, _, bmats_np = _consts(n_qubits)
-    bt_train = _pick_bt(nb, n_sub, hi, batch)
-    bt_primal = _pick_bt(nb, n_sub, hi, batch, primal=True)
+    bt_train = _pick_bt(nb, n_sub, hi, batch, bfly=bfly)
+    bt_primal = _pick_bt(nb, n_sub, hi, batch, primal=True, bfly=bfly)
 
     def const_spec(shape):
         nd = len(shape)
         return pl.BlockSpec(shape, lambda t, _nd=nd: (0,) * _nd)
 
     u7_spec = const_spec((n_sub, 128, 128))
-    uh_spec = const_spec((n_sub, hi, hi))
+    uh_shape = (n_sub, nh, 4) if bfly else (n_sub, hi, hi)
+    uh_spec = const_spec(uh_shape)
 
     def tiling(bt):
         bp = -(-batch // bt) * bt
@@ -540,7 +808,8 @@ def _make_chain(n_qubits, block_configs, batch, use_bf16=False):
             )
             out_specs += (per_tile_nb, per_tile_nb)
         return pl.pallas_call(
-            _fwd_kernel(n_qubits, runs, bt, save_residuals, use_bf16),
+            _fwd_kernel(n_qubits, runs, bt, save_residuals, use_bf16,
+                        bfly),
             grid=(n_tiles,),
             out_shape=out_shape,
             in_specs=[const_spec((128, 128)),
@@ -558,12 +827,12 @@ def _make_chain(n_qubits, block_configs, batch, use_bf16=False):
         out_shape = (
             jax.ShapeDtypeStruct((n_sub, 128, 128), jnp.float32),
             jax.ShapeDtypeStruct((n_sub, 128, 128), jnp.float32),
-            jax.ShapeDtypeStruct((n_sub, hi, hi), jnp.float32),
-            jax.ShapeDtypeStruct((n_sub, hi, hi), jnp.float32),
+            jax.ShapeDtypeStruct(uh_shape, jnp.float32),
+            jax.ShapeDtypeStruct(uh_shape, jnp.float32),
             jax.ShapeDtypeStruct((nb, n_tiles, hb, 128), jnp.float32),
         )
         return pl.pallas_call(
-            _bwd_kernel(n_qubits, runs, bt, use_bf16),
+            _bwd_kernel(n_qubits, runs, bt, use_bf16, bfly),
             grid=(n_tiles,),
             out_shape=out_shape,
             in_specs=[const_spec((128, 128)),
@@ -640,11 +909,16 @@ def forward_pfused(spec, weights, x):
     hi = 2 ** (n - LANE_QUBITS)
     n_sub = spec.total_sublayers
 
+    bfly = _bfly_mode(n) and hi > 1
     gu = build_group_unitaries(spec, weights)
     u7r, u7i = gu[0]                                   # (S, 128, 128)
     u7t_r = u7r.transpose(0, 2, 1)
     u7t_i = u7i.transpose(0, 2, 1)
-    if hi > 1:
+    if bfly:
+        # ⊗-factorized high group: per-qubit 2x2 entries (S, n-7, 4)
+        from quanonet_tpu.ops.fused_gates import build_high_rot2x2
+        uh_r, uh_i = build_high_rot2x2(spec, weights, LANE_QUBITS)
+    elif hi > 1:
         uh_r, uh_i = gu[1]                             # (S, hi, hi)
     else:
         eye = jnp.broadcast_to(jnp.eye(1, dtype=jnp.float32),
@@ -658,7 +932,8 @@ def forward_pfused(spec, weights, x):
     phi = 0.5 * jnp.einsum('bxn,dn->bxd', xb, zsgn,
                            precision=jax.lax.Precision.HIGHEST)
 
-    chain = _make_chain(n, tuple(spec.block_configs), batch, _use_bf16())
+    chain = _make_chain(n, tuple(spec.block_configs), batch, _use_bf16(),
+                        bfly)
     return chain(u7t_r, u7t_i, uh_r, uh_i, phi)
 
 

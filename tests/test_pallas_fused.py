@@ -55,7 +55,7 @@ def _compare(spec, w, x, diag, atol=5e-5):
 def test_ring_decomposition_exact():
     """The masked one-hot decomposition reproduces the gather exactly
     (forward map and its transpose), and needs only a handful of mats."""
-    for n in (8, 9, 10, 11):
+    for n in (8, 9, 10, 11, 12, 13):
         for inverse, idx in ((False, cnot_ring_inverse_permutation(n)),
                              (True, cnot_ring_permutation(n))):
             plan, mats = pf._ring_decomp(n, inverse)
@@ -105,10 +105,55 @@ def test_engine_dispatch():
 
 
 def test_out_of_range_falls_back():
-    """Q12 exceeds MAX_QUBITS: forward_pfused must route to the XLA
+    """Q14 exceeds MAX_QUBITS: forward_pfused must route to the XLA
     fused path rather than build an unsupported kernel."""
-    spec, w, x, diag = _case(12, (1, 1, 1, 1), 2)
+    spec, w, x, diag = _case(14, (1, 1, 1, 1), 2)
     assert not pf.pfused_applicable(spec)
     out = hea_expectation(spec, w, x, diag=diag, engine='pfused')
     ref = hea_expectation(spec, w, x, diag=diag, engine='fused')
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+# ── butterfly high-group path (Q12+, ops/pallas_fused.py bfly mode) ──────────
+
+def test_q12_bfly_fwd_and_grad_matches_fused():
+    """Q12 (hi=32) runs the ⊗-factorized butterfly high group + class-
+    stacked ring; fwd and the hand-written VJP (incl. the per-qubit 2x2
+    cotangents threaded back through build_high_rot2x2) must match the
+    XLA fused engine."""
+    spec, w, x, diag = _case(12, (1, 1, 1, 1), 3)
+    assert pf._bfly_mode(12) and pf.pfused_applicable(spec)
+    _compare(spec, w, x, diag, atol=2e-4)
+
+
+def test_q13_bfly_matches_fused():
+    spec, w, x, diag = _case(13, (1, 1, 1, 1), 2)
+    _compare(spec, w, x, diag, atol=2e-4)
+
+
+def test_q12_encode_only_blocks_bfly():
+    """linear_depth-0 blocks exercise the butterfly Hadamard H-D-H path."""
+    spec = HEASpec(12, ((12, 1), (12, 0), (12, 1)))
+    _compare(*_case(12, None, 2, spec=spec), atol=2e-4)
+
+
+def test_bfly_forced_matches_dense_fma_path(monkeypatch):
+    """PFUSED_BFLY=1 at Q9 (hi=4): the butterfly path must agree with
+    the default dense hi^2 FMA path bit-for-bit-level (same engine
+    contract, different in-kernel layout)."""
+    spec, w, x, diag = _case(9, (2, 1, 2, 1), 4)
+    monkeypatch.setenv('PFUSED_BFLY', '1')
+    pf._make_chain.cache_clear()
+    try:
+        assert pf._bfly_mode(9)
+        _compare(spec, w, x, diag)
+    finally:
+        pf._make_chain.cache_clear()
+
+
+def test_q12_multi_tile_accumulation():
+    """Multiple grid tiles at Q12: cross-tile accumulation of the
+    (n_sub, nh, 4) butterfly cotangents must be exact."""
+    spec, w, x, diag = _case(12, (1, 1, 1, 1), 20)
+    with mock.patch.object(pf, '_pick_bt', lambda *a, **k: 8):
+        _compare(spec, w, x, diag, atol=2e-4)
