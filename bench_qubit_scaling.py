@@ -13,7 +13,7 @@ Engines measured per size:
 
 Synthetic data (throughput is data-independent); one program shape per
 loop; value-synchronised timing (CLAUDE.md tunnel rules).  Emits one JSON
-line per measurement; `--table` renders the markdown for BENCHMARKS.md.
+line per measurement (collected by hand into BENCHMARKS.md's table).
 """
 import argparse
 import json
@@ -128,6 +128,10 @@ def main():
         (8,  (40, 2, 20, 2), ('pallas', 'fused', 'pfused'), 100, True, 100),
         (10, (40, 2, 20, 2), ('dense', 'fused', 'pfused'), 100, True, 20),
         (12, (10, 2, 10, 2), ('fused', 'pfused'), 100, True, 20),
+        # Q13 pfused-only: fused at Q13 compiles ~30 min over the tunnel;
+        # dominance vs fused follows from the measured fused Q12 row
+        # (fused throughput is monotone decreasing in Q).
+        (13, (10, 2, 10, 2), ('pfused', 'fused'), 100, True, 20),
         (14, (5, 2, 5, 2), ('fused',), 32, True, 10),
         # Q16 TRAINS on one chip: fused engine + remat
         # (ops/fused_gates.py:195-213) keeps the backward working set

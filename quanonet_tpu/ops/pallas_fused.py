@@ -73,14 +73,17 @@ MAX_QUBITS = 13          # Q12-13 use the butterfly high-group path below
 BFLY_MIN_QUBITS = 12     # hi > 16: dense hi^2 FMA fan-in stops scaling —
 #                          switch to ⊗-factorized butterflies + class-
 #                          stacked ring (PFUSED_BFLY=0/1 overrides for A/B)
-AUTO_MAX_QUBITS = 12     # auto-dispatch cap: measured 3.7x/1.9x/1.3x the
+AUTO_MAX_QUBITS = 13     # auto-dispatch cap: measured 3.7x/1.9x/1.3x the
 #                          XLA fused path at Q8/Q10/Q11 on v5e (Q11
 #                          Net10-2-10-2: 47.6K vs 36.1K), and 1.65x at
 #                          Q12 via the butterfly path (27,143 vs 16,442
 #                          samples/s, Net10-2-10-2 bs=100 — which also
 #                          compiles in 24 s vs the fused+remat program's
-#                          ~800 s).  Q13 works (exactness-tested) but
-#                          stays opt-in until measured on-chip.
+#                          ~800 s).  Q13 measured 16,371 samples/s
+#                          (bt=8 backward, bench_qubit_scaling --only
+#                          13) — ~at fused's *Q12* throughput, i.e.
+#                          ~2x the fused Q13 path, whose per-sample
+#                          work doubles per added qubit.
 VMEM_BUDGET = 64 * 1024 * 1024   # per-tile working-set target
 
 
@@ -739,9 +742,21 @@ def _pick_bt(nb, n_sub, hi, batch, primal=False, bfly=False):
     env = os.environ.get('PFUSED_BT')   # A/B override for tile tuning
     if env:
         return int(env)
+    # Mosaic's ACTUAL scoped stack for the bfly backward runs ~1.63x the
+    # _workset_bytes model (measured on-chip: Q13 Net10-2-10-2 bt=16 ->
+    # 101.97M actual vs 62.5M modeled, OOM over the 100M limit; Q12
+    # bt=32 squeaks under at the same ratio).  Raising vmem_limit_bytes
+    # is a moving target — Mosaic promotes more buffers into the freed
+    # space (re-measured 109.72M under a 108M limit) — so instead the
+    # hi>=64 backward budget absorbs the measured calibration, which
+    # drops Q13 to bt=8 while leaving Q12's measured-optimal bt=32
+    # (27,143 samples/s, 1.65x fused) untouched.
+    budget = VMEM_BUDGET
+    if bfly and not primal and hi >= 64:
+        budget = int(VMEM_BUDGET / 1.63)
     bt = max(8, -(-batch // 8) * 8)
     while bt > 8 and _workset_bytes(nb, n_sub, hi, bt, primal,
-                                    bfly) > VMEM_BUDGET:
+                                    bfly) > budget:
         bt = max(8, (bt // 2 + 7) // 8 * 8)
         if bt == 8:
             break
@@ -765,6 +780,7 @@ def _make_chain(n_qubits, block_configs, batch, use_bf16=False,
     hi = 2 ** (n_qubits - LANE_QUBITS)
     nh = n_qubits - LANE_QUBITS
     vmem = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
+    vmem_bwd = vmem
     _, h7_np, _, _, _, fmats_np, _, bmats_np = _consts(n_qubits)
     bt_train = _pick_bt(nb, n_sub, hi, batch, bfly=bfly)
     bt_primal = _pick_bt(nb, n_sub, hi, batch, primal=True, bfly=bfly)
@@ -842,7 +858,7 @@ def _make_chain(n_qubits, block_configs, batch, use_bf16=False,
                       per_tile_nb, per_tile_nb, per_tile, per_tile],
             out_specs=(u7_spec, u7_spec, uh_spec, uh_spec, per_tile_nb),
             interpret=_interpret(),
-            compiler_params=vmem,
+            compiler_params=vmem_bwd,
         )(jnp.asarray(h7_np), jnp.asarray(fmats_np), jnp.asarray(bmats_np),
           u7t_r, u7t_i, uh_r, uh_i, phi_t, str_, sti, gr, gi)
 
