@@ -2,15 +2,20 @@
 SPMD data-parallel training segments for the Solver (--num_devices N).
 
 Each device holds a 1/N shard of the training set; every optimizer step
-computes the GLOBAL masked MSE via psum inside shard_map and then
-ALL-REDUCES THE GRADIENTS with a second psum.  The gradient psum is
-load-bearing: differentiating through ``psum(local_sq)`` hands each
-device only the cotangent of its LOCAL contribution (psum's transpose is
-a broadcast, not another reduction), so without the explicit
-``psum(grads, 'data')`` every replica would apply only its own shard's
-gradient piece and the "replicated" parameters silently drift apart.
-With it, updates are the exact full-batch gradient and replicas stay
-bit-identical across devices (asserted in tests/test_parallel.py).
+differentiates the LOCAL unreduced squared-error sum, then ALL-REDUCES
+the per-shard gradient pieces with an explicit psum and normalizes by
+the psum'd sample count.  Both the placement and the normalization are
+load-bearing: (a) without the gradient psum every replica would apply
+only its own shard's piece and the "replicated" parameters silently
+drift apart (round-3 bug, caught by the elastic-resume bit-identity
+test); (b) differentiating a psum'd loss instead seeds a unit cotangent
+on every device and psum's transpose is psum, so each local grad comes
+out n_dev x its piece — psum'ing those over-counts the full-batch
+gradient by n_dev (round-3/4 latent bug, invisible under Adam's scale
+invariance, caught by the round-5 SGD exactness test).  With the local-
+sum construction, updates are the exact full-batch gradient independent
+of psum-transpose semantics, and replicas stay bit-identical across
+devices (asserted in tests/test_parallel.py).
 Shuffling is per-device over the local shard ("local shuffling" — the
 standard DP relaxation of global shuffling; the composition of
 minibatches differs from single-device training but each sample is still
@@ -41,10 +46,18 @@ def pad_to_devices(arrays, outputs, n_devices):
 
 
 def make_dp_run_segment(model_apply, optimizer, mesh, global_n, batch_size,
-                        per_sample):
+                        per_sample, rng_collection=None):
     """Returns (run_segment, shard_data) where run_segment has the same
     signature/semantics as solver.make_run_segment but executes SPMD over
-    the mesh's 'data' axis."""
+    the mesh's 'data' axis.
+
+    rng_collection: thread a fresh per-step flax rng under this collection
+    name (noise-aware training, ops/noise.py — each device resamples its
+    OWN Pauli trajectories per optimizer step, folded from the epoch key
+    by device index, so the composed estimator is an independent-
+    trajectory average over the global batch; stochastic-gradient
+    semantics identical in distribution to the single-device noisy path).
+    The default path is byte-identical to before the parameter existed."""
     n_devices = mesh.shape['data']
     if batch_size % n_devices:
         raise ValueError(f"batch_size {batch_size} must divide evenly "
@@ -54,6 +67,7 @@ def make_dp_run_segment(model_apply, optimizer, mesh, global_n, batch_size,
     local_n = padded_n // n_devices
     num_batches = max(1, int(np.ceil(local_n / local_bs)))
     local_padded = num_batches * local_bs
+    stochastic = bool(rng_collection)
 
     def local_epoch(carry, key, inputs, outputs, real_mask):
         """Runs per device inside shard_map.  real_mask: (local_n,) 1.0
@@ -61,41 +75,62 @@ def make_dp_run_segment(model_apply, optimizer, mesh, global_n, batch_size,
         params, opt_state = carry
         me = jax.lax.axis_index('data')
         key = jax.random.fold_in(key, me)
+        if stochastic:
+            key, knoise = jax.random.split(key)
+            step_rngs = jax.random.split(knoise, num_batches)
         perm = jax.random.permutation(key, local_n)
         pad_idx = jnp.concatenate([perm, perm[:local_padded - local_n]])
         wrap_mask = (jnp.arange(local_padded) < local_n).astype(jnp.float32)
         idx = pad_idx.reshape(num_batches, local_bs)
         masks = wrap_mask.reshape(num_batches, local_bs)
 
-        def batch_loss(p, batch_in, batch_out, mask):
-            pred = model_apply(p, *batch_in)
+        def batch_loss(p, batch_in, batch_out, mask, rng):
+            """LOCAL masked squared-error SUM — deliberately unreduced.
+
+            Differentiating a psum'd loss inside shard_map is a trap:
+            the replicated loss output seeds a cotangent of 1 on EVERY
+            device and psum's transpose is psum, so each device's grad
+            comes out n_dev x its local piece — psum'ing those over-
+            counts the full-batch gradient by n_dev (a real bug shipped
+            in rounds 3-4, invisible under Adam's scale invariance,
+            caught by the round-5 SGD exactness test below).  Instead
+            the grad is taken of the LOCAL sum only; step() psums the
+            per-shard grad pieces and divides by the global count —
+            exact by construction, independent of transpose semantics."""
+            if rng is None:
+                pred = model_apply(p, *batch_in)
+            else:
+                pred = model_apply(p, *batch_in,
+                                   rngs={rng_collection: rng})
             m = mask.reshape(mask.shape + (1,) * (pred.ndim - 1))
-            sq = jnp.sum((pred - batch_out) ** 2 * m)
-            cnt = jnp.sum(mask)
-            # GLOBAL masked mean (the VALUE; grads still need their own
-            # psum in step() — psum's transpose is a broadcast)
-            sq = jax.lax.psum(sq, 'data')
-            cnt = jax.lax.psum(cnt, 'data')
-            return sq / jnp.maximum(cnt * per_sample, 1.0), cnt
+            return jnp.sum((pred - batch_out) ** 2 * m)
 
         def step(carry, b):
             params, opt_state = carry
-            bi, bm = b
+            if stochastic:
+                bi, bm, rng = b
+            else:
+                (bi, bm), rng = b, None
             batch_in = tuple(a[bi] for a in inputs)
             batch_out = outputs[bi]
             bm = bm * real_mask[bi]     # mask device-padding rows too
-            (loss, cnt), grads = jax.value_and_grad(
-                batch_loss, has_aux=True)(params, batch_in, batch_out, bm)
-            # grads here are each device's LOCAL piece of the global-loss
-            # gradient (see module docstring); sum them so every replica
-            # applies the identical full-batch gradient
-            grads = jax.lax.psum(grads, 'data')
+            sq_local, grads = jax.value_and_grad(batch_loss)(
+                params, batch_in, batch_out, bm, rng)
+            cnt = jax.lax.psum(jnp.sum(bm), 'data')
+            denom = jnp.maximum(cnt * per_sample, 1.0)
+            loss = jax.lax.psum(sq_local, 'data') / denom
+            # exact full-batch gradient: sum of the per-shard pieces of
+            # the UNREDUCED local sums, normalized by the global count
+            # (see batch_loss docstring for why the psum sits here)
+            grads = jax.tree_util.tree_map(
+                lambda g: jax.lax.psum(g, 'data') / denom, grads)
             updates, opt_state = optimizer.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
             return (params, opt_state), (loss, cnt)
 
+        xs = (idx, masks, step_rngs) if stochastic else (idx, masks)
         (params, opt_state), (losses, counts) = jax.lax.scan(
-            step, (params, opt_state), (idx, masks))
+            step, (params, opt_state), xs)
         avg_loss = jnp.mean(losses)
         sse = jnp.sum(losses * counts * per_sample)
         return (params, opt_state), (avg_loss, sse)

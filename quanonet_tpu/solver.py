@@ -457,9 +457,6 @@ class Solver:
         if str(config.get('grad_method') or 'autodiff') != 'autodiff':
             raise ValueError(f"--shard {mode} trains by autodiff through "
                              f"the collectives; drop --grad_method")
-        if config.get('ham_pauli', 'Z') not in (None, 'Z'):
-            raise ValueError(f"--shard {mode} supports diagonal (Z-basis) "
-                             f"Hamiltonians only")
 
         from quanonet_tpu.ops.hea import heaqnn_spec, quanonet_spec
         if self.model_type == 'QuanONet':
@@ -598,27 +595,30 @@ class Solver:
                   if gm == 'spsa' else None)
         n_devices = int(config.get('num_devices') or 1)
         if n_devices > 1 and self.shard_mode in ('none', 'data'):
-            if self._noisy:
-                raise ValueError(
-                    "noise-aware training (--noise_p/--readout_p/"
-                    "--damp_gamma/--dephase_p) is single-device for now; "
-                    "drop --num_devices or the noise flags")
-            if gm != 'autodiff' or self._rng_collection:
+            if gm != 'autodiff' or (self._rng_collection
+                                    and not self._noisy):
                 raise ValueError(
                     "--grad_method shift/spsa and --train_shots are "
                     "single-device for now; drop --num_devices")
             # SPMD data parallelism over a 'data' mesh axis: training-set
-            # shards per device, psum'd global loss/grads
+            # shards per device, psum'd global loss/grads.  Noise-aware
+            # training composes: each device resamples its own per-step
+            # trajectories (rng_collection='noise' below), grads psum'd —
+            # same stochastic-gradient semantics as the single-device
+            # noisy path, distributed over the fleet
             from quanonet_tpu.parallel import make_mesh
             from quanonet_tpu.parallel.dp_solver import make_dp_run_segment
             mesh = make_mesh(n_devices)
             run_segment, shard_data = make_dp_run_segment(
                 self.model.apply, optimizer, mesh, num_samples, batch_size,
-                per_sample)
+                per_sample,
+                rng_collection='noise' if self._noisy else None)
             inputs, outputs = shard_data(self.train_inputs,
                                          self.train_output)
             self.logger.info(
-                f"Data-parallel training over {n_devices} devices")
+                f"Data-parallel training over {n_devices} devices"
+                + (" (noise-aware: per-device trajectory resampling)"
+                   if self._noisy else ""))
 
             # Elastic-resume placement contract: restored host arrays must
             # be committed REPLICATED on the mesh, exactly like the
