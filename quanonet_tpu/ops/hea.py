@@ -492,14 +492,11 @@ def hea_expectation(spec: HEASpec, weights, x, diag=None, pauli='Z',
     """
     resolved = resolve_engine(engine, spec.n_qubits)
     if resolved in SHARDED_ENGINES:
-        if pauli != 'Z':
-            raise ValueError(
-                f"engine '{resolved}' supports diagonal (Z-basis) "
-                f"Hamiltonians only, not pauli='{pauli}'")
-        if diag is None:
+        if pauli == 'Z' and diag is None:
             raise ValueError("Z-basis measurement requires a diagonal")
         from quanonet_tpu.parallel.shard_engine import sharded_expectation
-        return sharded_expectation(spec, weights, x, diag)
+        return sharded_expectation(spec, weights, x, diag, pauli=pauli,
+                                   offset=offset, coeff=coeff)
     if pauli == 'Z' and resolved == 'pallas':
         from quanonet_tpu.ops.pallas_hea import hea_expectation_pallas
         return hea_expectation_pallas(spec, weights, x, diag)

@@ -95,11 +95,20 @@ def _rz_local(sr, si, q, half, local_n):
 
 
 def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
-                     virtual_global=None):
+                     virtual_global=None, pauli='Z', offset=0.0,
+                     coeff=0.0):
     """Build a jitted sharded expectation fn:
     f(weights, x, diag) -> (batch, 1).
 
     weights/x replicated; diag sharded over the amplitude axis.
+
+    pauli='X'/'Y' (reference quantum_circuits_ms.py:28-39 `pauli` arg,
+    the hamiltonian-study ablation) measures ⟨offset + coeff·Σᵢ Pᵢ⟩
+    instead of the diagonal: local qubits use the on-shard pair formula
+    (ops/hea.pauli_sum_expectation_pair), each GLOBAL qubit costs one
+    partner ppermute — the device contributes Re/Im⟨conj(local),
+    partner⟩ and the pair sums to the 2·Re/2·Im of the unsharded
+    formula.  ``diag`` is then ignored (pass zeros).
 
     fused=True swaps the LOCAL-qubit work onto the grouped-kron MXU path
     (ops/fused_gates.py): per sublayer, local rotations become n/7
@@ -132,6 +141,46 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
             f"2^{k} shards ({n_dev} devices) > 2^{n} amplitudes")
     local_n = n - k
     local_dim = 2 ** local_n
+    if pauli not in ('Z', 'X', 'Y'):
+        raise ValueError(f"pauli must be Z, X or Y, got {pauli}")
+    if pauli != 'Z' and virtual_global is not None:
+        raise ValueError("virtual_global is a Z-basis timing instrument")
+
+    def measure(sr, si, my_id, diag_local):
+        """Local partial expectation + one psum (see docstring)."""
+        if pauli == 'Z':
+            local = (sr * sr + si * si) @ diag_local       # (batch,)
+            return jax.lax.psum(local, axis)[:, None]
+        batch = sr.shape[0]
+        total = jnp.zeros((batch,), jnp.float32)
+        for q in range(local_n):
+            lo = 2 ** q
+            h2 = 2 ** (local_n - 1 - q)
+            r = sr.reshape(batch, h2, 2, lo)
+            i = si.reshape(batch, h2, 2, lo)
+            r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
+            i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
+            if pauli == 'X':
+                total = total + 2.0 * jnp.sum(r0 * r1 + i0 * i1,
+                                              axis=(1, 2))
+            else:
+                total = total + 2.0 * jnp.sum(r0 * i1 - i0 * r1,
+                                              axis=(1, 2))
+        for q in range(local_n, n):
+            dev_bit = q - local_n
+            pr = _swap_with_partner(sr, axis, n_dev, dev_bit)
+            pi = _swap_with_partner(si, axis, n_dev, dev_bit)
+            if pauli == 'X':
+                # both partners contribute Re⟨conj(me), partner⟩ = the
+                # same value; the pair sums to 2·ReΣ conj(ψ0)ψ1
+                total = total + jnp.sum(sr * pr + si * pi, axis=1)
+            else:
+                # Im⟨conj(me), partner⟩ flips sign on the |1⟩ half
+                bit = (my_id >> dev_bit) & 1
+                sign = 1.0 - 2.0 * bit
+                total = total + sign * jnp.sum(sr * pi - si * pr, axis=1)
+        total = jax.lax.psum(total, axis)
+        return (offset + coeff * total)[:, None]
 
     def rx_any(sr, si, q, theta, my_id):
         if q < local_n:
@@ -271,9 +320,7 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
             if pending_h:               # encoding-only block
                 sr, si = _apply_hadamard(sr, si, groups, local_n)
 
-        local = (sr * sr + si * si) @ diag_local       # (batch,)
-        total = jax.lax.psum(local, axis)
-        return total[:, None]
+        return measure(sr, si, my_id, diag_local)
 
     def body(weights, x, diag_local):
         my_id = jax.lax.axis_index(axis)
@@ -304,9 +351,7 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
                         sr, si = cnot_any(sr, si, (i + 1) % n, i, my_id)
                 sub += 1
 
-        local = (sr * sr + si * si) @ diag_local       # (batch,)
-        total = jax.lax.psum(local, axis)
-        return total[:, None]
+        return measure(sr, si, my_id, diag_local)
 
     sharded = shard_map(
         body_fused if fused else body, mesh=mesh,
@@ -317,9 +362,12 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
 
 
 def hea_expectation_sharded(spec, weights, x, diag, mesh, axis='amp',
-                            fused=False):
+                            fused=False, pauli='Z', offset=0.0, coeff=0.0):
     """One-shot convenience wrapper around make_sharded_hea."""
-    f = make_sharded_hea(spec, mesh, axis=axis, fused=fused)
+    f = make_sharded_hea(spec, mesh, axis=axis, fused=fused, pauli=pauli,
+                         offset=offset, coeff=coeff)
+    if diag is None:
+        diag = np.zeros(spec.dim, np.float32)
     return f(jnp.asarray(weights), jnp.asarray(x),
              jnp.asarray(diag, jnp.float32))
 

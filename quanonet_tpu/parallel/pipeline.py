@@ -57,9 +57,16 @@ from quanonet_tpu.ops.hea import HEASpec, diag_expectation_pair
 
 
 def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
-                      data_axis=None, stage_local_compile=None):
+                      data_axis=None, stage_local_compile=None,
+                      pauli='Z', offset=0.0, coeff=0.0):
     """Build f(weights, x, diag) -> (batch, 1) expectation values with the
     block chain pipelined over ``mesh``'s ``axis``.
+
+    pauli='X'/'Y' measures ⟨offset + coeff·Σᵢ Pᵢ⟩ instead of the
+    diagonal (reference quantum_circuits_ms.py:28-39 `pauli` arg): the
+    pipeline holds the FULL per-microbatch state on every stage, so the
+    observable is a drop-in epilogue swap on the draining stage —
+    zero extra communication.  ``diag`` is then ignored (pass zeros).
 
     ``data_axis``: optional second mesh axis to ALSO shard the batch over
     (dp x pp composition: each data-shard runs its own pipeline over the
@@ -181,7 +188,12 @@ def make_pipeline_hea(spec: HEASpec, mesh, axis='pipe', n_microbatches=None,
             sr = jnp.where(is0, inj_r, rr)
             si = jnp.where(is0, inj_i, ri)
             sr, si = _stage(p, loc_r, loc_i, phi_mb, sr, si)
-            e = diag_expectation_pair(sr, si, diag)     # (mb, 1)
+            if pauli == 'Z':
+                e = diag_expectation_pair(sr, si, diag)     # (mb, 1)
+            else:
+                from quanonet_tpu.ops.hea import pauli_sum_expectation_pair
+                e = pauli_sum_expectation_pair(sr, si, pauli, n,
+                                               offset, coeff)
             return (sr, si), e
 
         (_, _), es = lax.scan(tick, (zero, zero), jnp.arange(T))

@@ -62,17 +62,19 @@ def get_shard_context() -> Optional[ShardContext]:
     return _context
 
 
-def _build(spec, ctx):
+def _build(spec, ctx, pauli='Z', offset=0.0, coeff=0.0):
     if ctx.mode == 'amp':
         from quanonet_tpu.parallel.amplitude import make_sharded_hea
         # grouped-kron MXU local path where the spec allows it (uniform
         # encode — true for every QuanONet/HEAQNN net); per-gate fallback
         # otherwise
         return make_sharded_hea(spec, ctx.mesh, axis='amp',
-                                fused=spec.uniform_encode)
+                                fused=spec.uniform_encode,
+                                pauli=pauli, offset=offset, coeff=coeff)
     from quanonet_tpu.parallel.pipeline import make_pipeline_hea
     raw = make_pipeline_hea(spec, ctx.mesh, axis='pipe',
-                            n_microbatches=ctx.n_microbatches)
+                            n_microbatches=ctx.n_microbatches,
+                            pauli=pauli, offset=offset, coeff=coeff)
     M = int(ctx.n_microbatches or ctx.mesh.shape['pipe'])
 
     def fn(weights, x, diag):
@@ -90,20 +92,26 @@ def _build(spec, ctx):
     return fn
 
 
-def sharded_expectation(spec, weights, x, diag):
+def sharded_expectation(spec, weights, x, diag, pauli='Z', offset=0.0,
+                        coeff=0.0):
     """Engine entry point used by ops/hea.hea_expectation for the 'amp'
     and 'pipe' engines.  Builds (and caches) the shard_map'd program for
-    (spec, context) on first use."""
+    (spec, context, observable) on first use.  For pauli='X'/'Y' the
+    observable is ⟨offset + coeff·Σᵢ Pᵢ⟩ and ``diag`` may be None."""
     ctx = _context
     if ctx is None:
         raise RuntimeError(
             "engine 'amp'/'pipe' needs an active shard context — "
             "run via Solver --shard amp|pipe, or call "
             "parallel.shard_engine.set_shard_context(mesh, mode) first")
-    key = (spec, ctx.mode, ctx.mesh, ctx.n_microbatches)
+    key = (spec, ctx.mode, ctx.mesh, ctx.n_microbatches,
+           pauli, float(offset), float(coeff))
     fn = _fn_cache.get(key)
     if fn is None:
-        fn = _fn_cache[key] = _build(spec, ctx)
+        fn = _fn_cache[key] = _build(spec, ctx, pauli, offset, coeff)
+    if diag is None:
+        import numpy as np
+        diag = np.zeros(spec.dim, np.float32)
     return fn(weights, x, jnp.asarray(diag, jnp.float32))
 
 

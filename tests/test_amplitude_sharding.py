@@ -185,3 +185,46 @@ def test_sharded_training_end_to_end():
                                rtol=2e-4, atol=2e-5)
     np.testing.assert_allclose(np.asarray(p_sh), np.asarray(p_ref),
                                atol=2e-4)
+
+
+# ── X/Y Σ-Pauli observables (round 5: lifts the amp Z-only restriction) ──────
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("pauli", ['X', 'Y'])
+def test_sharded_pauli_xy_matches_single_device(n_dev, pauli):
+    """⟨offset + coeff·Σᵢ Pᵢ⟩ for P∈{X,Y} (reference
+    quantum_circuits_ms.py:28-39 `pauli` arg): local qubits use the
+    on-shard pair formula, each global qubit one partner ppermute.
+    Values must match the single-device gates oracle on both the
+    per-gate and the fused local path."""
+    from quanonet_tpu.ops.hamiltonian import simple_ham_params
+    spec, w, x, _ = _case(4, (2, 1, 2, 1), batch=3)
+    offset, coeff = simple_ham_params(4, -5.0, 5.0)
+    ref = np.asarray(hea_expectation(spec, w, x, pauli=pauli,
+                                     offset=offset, coeff=coeff,
+                                     engine='gates'))
+    mesh = _mesh(n_dev)
+    for fused in (False, True):
+        out = np.asarray(hea_expectation_sharded(
+            spec, w, x, None, mesh, fused=fused, pauli=pauli,
+            offset=offset, coeff=coeff))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+
+def test_sharded_pauli_xy_gradients():
+    """Autodiff must flow through the partner-ppermute observable."""
+    from quanonet_tpu.ops.hamiltonian import simple_ham_params
+    spec, w, x, _ = _case(3, (2, 1, 2, 1), batch=2)
+    offset, coeff = simple_ham_params(3, -5.0, 5.0)
+    mesh = _mesh(4)     # 1 local qubit, 2 global
+    for pauli in ('X', 'Y'):
+        f = make_sharded_hea(spec, mesh, pauli=pauli, offset=offset,
+                             coeff=coeff)
+        zeros = jnp.zeros(spec.dim, jnp.float32)
+        g_s = np.asarray(jax.grad(
+            lambda w_: jnp.sum(f(w_, x, zeros) ** 2))(w))
+        g_r = np.asarray(jax.grad(
+            lambda w_: jnp.sum(hea_expectation(
+                spec, w_, x, pauli=pauli, offset=offset, coeff=coeff,
+                engine='gates') ** 2))(w))
+        np.testing.assert_allclose(g_s, g_r, atol=1e-4)
