@@ -27,10 +27,54 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 BASELINE_SPS = 2083.0   # Q5 MindQuantum CPU anchor (BASELINE.md) — the
 #                         reference would only be SLOWER at larger Q, so
 #                         using it for all sizes understates our speedup
+V5E_PEAK_BF16 = 197e12  # TPU v5e MXU peak (bf16 FLOP/s), same
+#                         denominator bench.py uses for the flagship MFU
 
 
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
+
+
+def model_flops_per_sample(n_qubits, net_size, engine, train=True):
+    """Analytic model-FLOP count per sample for the grouped-kron HEA
+    formulation (the algebra the fused/pfused engines execute,
+    ops/fused_gates.py / ops/pallas_fused.py) — NOT the dense O(D^2)
+    block-chain model bench.py uses for dense/pallas/embed at Q5.
+
+    Counting convention (complex MAC = 8 real FLOPs; permutations are
+    free — the ring is a gather, its one-hot-matmul realization in the
+    pfused kernel is an implementation detail, so MFU here measures
+    USEFUL arithmetic, understating hardware utilization):
+
+      per sublayer:  low-group complex (D x 128) contraction  8*128*D
+                     high group: dense (hi x hi) FMAs          8*hi*D
+                       (butterfly mode executes 14*(n-7)*D — less;
+                        the dense count is the algebraic contraction)
+      per block:     encode diagonal (complex multiply)        8*D
+                     2 Hadamards: lanes 2 real matmuls  2*2*2*128*D
+                       + high add/sub butterflies       2*4*(n-7)*D
+      measurement:   |psi|^2 dot diag                          4*D
+
+    Train steps cost ~3x the forward (activation recompute + cotangent
+    chain + weight cotangents — the standard fwd+bwd=3x convention).
+    dense/pallas/embed (Q<=11 engines) use bench.py's dense-chain model
+    scaled the same way.
+    """
+    D = 2 ** n_qubits
+    bd, bld, td, tld = net_size
+    n_blocks = bd + td
+    n_sub = bd * bld + td * tld
+    if engine in ('dense', 'pallas', 'embed'):
+        # bench.py flops_per_sample counts fwd+bwd already (18/24 D^2)
+        per_step = (24 if engine == 'embed' else 18) * D * D * n_blocks
+        return per_step if train else per_step // 3
+    hi = max(D // 128, 1)
+    per_sub = 8 * 128 * D + (8 * hi * D if hi > 1 else 0)
+    # Hadamard pair per block: 2 lane matmuls (re+im) + high butterflies
+    nh = max(n_qubits - 7, 0)
+    per_block = 8 * D + 2 * (2 * 2 * 128 * D) + 2 * 4 * nh * D
+    fwd = n_sub * per_sub + n_blocks * per_block + 4 * D
+    return 3 * fwd if train else fwd
 
 
 def bench_config(n_qubits, net_size, engine, batch, epochs_timed=20,
@@ -128,17 +172,21 @@ def main():
         (8,  (40, 2, 20, 2), ('pallas', 'fused', 'pfused'), 100, True, 100),
         (10, (40, 2, 20, 2), ('dense', 'fused', 'pfused'), 100, True, 20),
         (12, (10, 2, 10, 2), ('fused', 'pfused'), 100, True, 20),
-        # Q13 pfused-only: fused at Q13 compiles ~30 min over the tunnel;
+        # Q13 pfused-only by default: fused at Q13 compiles ~30 min over
+        # the tunnel (run it explicitly via --only 13 --engine fused);
         # dominance vs fused follows from the measured fused Q12 row
         # (fused throughput is monotone decreasing in Q).
-        (13, (10, 2, 10, 2), ('pfused', 'fused'), 100, True, 20),
-        (14, (5, 2, 5, 2), ('fused',), 32, True, 10),
+        (13, (10, 2, 10, 2), ('pfused',), 100, True, 20),
+        # Q14: round-5 butterfly pfused extension (hi=128, bt=8 bwd
+        # tiles) vs the fused+remat path
+        (14, (5, 2, 5, 2), ('pfused', 'fused'), 32, True, 10),
         # Q16 TRAINS on one chip: fused engine + remat
         # (ops/fused_gates.py:195-213) keeps the backward working set
         # bounded; bs=16 x 2^16 split-real states
         (16, (5, 2, 5, 2), ('fused',), 16, True, 10),
     ]
     timed = 3 if args.quick else 20
+    rows = []
     for nq, net, engines, batch, train, spe in CONFIGS:
         if args.only and nq != args.only:
             continue
@@ -153,7 +201,9 @@ def main():
             except Exception as e:
                 log(f"Q{nq} {eng}: FAILED {type(e).__name__}: {e}")
                 continue
-            print(json.dumps({
+            fps = model_flops_per_sample(nq, net, eng, train=train)
+            tflops = sps * fps / 1e12
+            row = {
                 "metric": f"qubit_scaling_q{nq}_{eng}"
                           f"{'_train' if train else '_fwd'}",
                 "qubits": nq, "engine": eng,
@@ -163,7 +213,32 @@ def main():
                 "vs_baseline": round(sps / BASELINE_SPS, 2),
                 "compile_s": None if compile_s is None
                              else round(compile_s, 1),
-            }), flush=True)
+                "model_mflops_per_sample": round(fps / 1e6, 3),
+                "model_tflops_per_sec": round(tflops, 4),
+                "mfu_pct": round(100.0 * tflops * 1e12
+                                 / V5E_PEAK_BF16, 4),
+            }
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+    # JSON artifact for the docs/BENCHMARKS.md scaling table (partial
+    # runs via --only/--engine merge into the existing artifact)
+    art_path = os.path.join(REPO, 'docs', 'qubit_scaling.json')
+    if rows and jax.default_backend() == 'tpu':
+        try:
+            with open(art_path) as f:
+                art = {r['metric']: r for r in json.load(f)['rows']}
+        except Exception:
+            art = {}
+        for r in rows:
+            art[r['metric']] = r
+        with open(art_path, 'w') as f:
+            json.dump({'device': str(jax.devices()[0]),
+                       'peak_bf16_flops': V5E_PEAK_BF16,
+                       'rows': sorted(art.values(),
+                                      key=lambda r: (r['qubits'],
+                                                     r['engine']))},
+                      f, indent=1)
+        log(f"artifact updated: {art_path}")
 
 
 if __name__ == '__main__':

@@ -307,7 +307,33 @@ def test_pfused_engine():
     ok3 = df3 <= FWD_TOL_QUANTUM and dg3 <= GRAD_TOL
     report("Q12 fused≡pfused (butterfly)", ok3,
            f"(fwd {df3:.2e}, grad {dg3:.2e})")
-    return ok and ok2 and ok3
+
+    # Q14 butterfly (hi=128, round 5): 7 high-qubit butterflies + bt=8
+    # backward tiles — the Mosaic gate for the round-5 extension
+    # (tiny 3-block net keeps the tunnel compile bounded).
+    spec14 = quanonet_spec(14, (2, 1, 1, 1))
+    w14 = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                  spec14.weight_shape()).astype(np.float32))
+    x14 = jnp.asarray(rng.uniform(-2, 2,
+                                  (4, spec14.total_encode)).astype(np.float32))
+    diag14 = jnp.asarray(simple_ham_diag(14, -5, 5))
+
+    def one14(eng):
+        out = np.asarray(hea_expectation(spec14, w14, x14, diag=diag14,
+                                         engine=eng))
+        g = np.asarray(jax.grad(
+            lambda w_: jnp.sum(hea_expectation(spec14, w_, x14, diag=diag14,
+                                               engine=eng) ** 2))(w14))
+        return out, g
+
+    o7, g7 = one14('fused')
+    o8, g8 = one14('pfused')
+    df4 = np.abs(o7 - o8).max()
+    dg4 = np.abs(g7 - g8).max()
+    ok4 = df4 <= FWD_TOL_QUANTUM and dg4 <= GRAD_TOL
+    report("Q14 fused≡pfused (butterfly)", ok4,
+           f"(fwd {df4:.2e}, grad {dg4:.2e})")
+    return ok and ok2 and ok3 and ok4
 
 
 def test_classical_models():

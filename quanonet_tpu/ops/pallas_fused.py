@@ -69,11 +69,11 @@ from quanonet_tpu.ops.pallas_hea import (
 
 LANE_QUBITS = 7
 MIN_QUBITS = 8
-MAX_QUBITS = 13          # Q12-13 use the butterfly high-group path below
+MAX_QUBITS = 14          # Q12-14 use the butterfly high-group path below
 BFLY_MIN_QUBITS = 12     # hi > 16: dense hi^2 FMA fan-in stops scaling —
 #                          switch to ⊗-factorized butterflies + class-
 #                          stacked ring (PFUSED_BFLY=0/1 overrides for A/B)
-AUTO_MAX_QUBITS = 13     # auto-dispatch cap: measured 3.7x/1.9x/1.3x the
+AUTO_MAX_QUBITS = 14     # auto-dispatch cap: measured 3.7x/1.9x/1.3x the
 #                          XLA fused path at Q8/Q10/Q11 on v5e (Q11
 #                          Net10-2-10-2: 47.6K vs 36.1K), and 1.65x at
 #                          Q12 via the butterfly path (27,143 vs 16,442
@@ -83,7 +83,11 @@ AUTO_MAX_QUBITS = 13     # auto-dispatch cap: measured 3.7x/1.9x/1.3x the
 #                          (bt=8 backward, bench_qubit_scaling --only
 #                          13) — ~at fused's *Q12* throughput, i.e.
 #                          ~2x the fused Q13 path, whose per-sample
-#                          work doubles per added qubit.
+#                          work doubles per added qubit.  Round 5
+#                          extended the butterfly path to Q14 (hi=128):
+#                          measured 8,321 samples/s (Net5-2-5-2 bs=32)
+#                          = 1.58x the fused+remat Q14 path (5,260),
+#                          compile 298 s (vs fused's ~800 s).
 VMEM_BUDGET = 64 * 1024 * 1024   # per-tile working-set target
 
 
@@ -780,7 +784,6 @@ def _make_chain(n_qubits, block_configs, batch, use_bf16=False,
     hi = 2 ** (n_qubits - LANE_QUBITS)
     nh = n_qubits - LANE_QUBITS
     vmem = pltpu.CompilerParams(vmem_limit_bytes=VMEM_LIMIT)
-    vmem_bwd = vmem
     _, h7_np, _, _, _, fmats_np, _, bmats_np = _consts(n_qubits)
     bt_train = _pick_bt(nb, n_sub, hi, batch, bfly=bfly)
     bt_primal = _pick_bt(nb, n_sub, hi, batch, primal=True, bfly=bfly)
@@ -858,7 +861,7 @@ def _make_chain(n_qubits, block_configs, batch, use_bf16=False,
                       per_tile_nb, per_tile_nb, per_tile, per_tile],
             out_specs=(u7_spec, u7_spec, uh_spec, uh_spec, per_tile_nb),
             interpret=_interpret(),
-            compiler_params=vmem_bwd,
+            compiler_params=vmem,
         )(jnp.asarray(h7_np), jnp.asarray(fmats_np), jnp.asarray(bmats_np),
           u7t_r, u7t_i, uh_r, uh_i, phi_t, str_, sti, gr, gi)
 

@@ -105,9 +105,9 @@ def test_engine_dispatch():
 
 
 def test_out_of_range_falls_back():
-    """Q14 exceeds MAX_QUBITS: forward_pfused must route to the XLA
+    """Q15 exceeds MAX_QUBITS: forward_pfused must route to the XLA
     fused path rather than build an unsupported kernel."""
-    spec, w, x, diag = _case(14, (1, 1, 1, 1), 2)
+    spec, w, x, diag = _case(15, (1, 1, 1, 1), 2)
     assert not pf.pfused_applicable(spec)
     out = hea_expectation(spec, w, x, diag=diag, engine='pfused')
     ref = hea_expectation(spec, w, x, diag=diag, engine='fused')
@@ -129,6 +129,21 @@ def test_q12_bfly_fwd_and_grad_matches_fused():
 def test_q13_bfly_matches_fused():
     spec, w, x, diag = _case(13, (1, 1, 1, 1), 2)
     _compare(spec, w, x, diag, atol=2e-4)
+
+
+@pytest.mark.skipif(__import__('os').environ.get('QON_SLOW') != '1',
+                    reason="hi=128 interpret-mode run costs ~10 min on the "
+                           "1-core box; run with QON_SLOW=1 (green this "
+                           "round) — the on-chip compare_engines 'Q14 "
+                           "fused≡pfused (butterfly)' gate covers the "
+                           "kernel every round")
+def test_q14_bfly_matches_fused():
+    """Q14 (hi=128) — the round-5 butterfly extension: the per-qubit
+    2x2 rotations now span 7 high qubits; fwd + hand-written VJP must
+    match the XLA fused engine."""
+    spec, w, x, diag = _case(14, (1, 1, 1, 1), 2)
+    assert pf.pfused_applicable(spec)
+    _compare(spec, w, x, diag, atol=4e-4)
 
 
 def test_q12_encode_only_blocks_bfly():
