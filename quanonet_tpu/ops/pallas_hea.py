@@ -20,8 +20,10 @@ and this TPU backend has no complex64 anyway).
 
 Wired into the engine as ``engine='pallas'`` (quanonet_tpu/ops/hea.py);
 numerically identical to the dense path, verified in tests/test_pallas.py.
-Falls back to the dense path when the working set exceeds the VMEM budget.
+Batches past the VMEM budget run as multiple equal chunks (round 5);
+structurally unsupported specs fall back to the dense path.
 """
+import os
 from functools import lru_cache
 
 import jax
@@ -37,6 +39,12 @@ from quanonet_tpu.ops.gates import hadamard_kron, z_signs
 # We request a higher per-kernel limit and size the fallback budget to it.
 VMEM_LIMIT = 100 * 1024 * 1024
 VMEM_BUDGET = 88 * 1024 * 1024  # working-set ceiling before dense fallback
+CHUNK_MIN_BT = 256   # smallest worthwhile per-call chunk of the batched
+#                      chain (forward_pallas): below this the ~25-30 us
+#                      per-launch cost stops amortizing and the dense
+#                      path wins anyway.  PALLAS_CHUNK=0 disables
+#                      chunking entirely (A/B: dense fallback as before
+#                      round 5)
 
 
 def _interpret() -> bool:
@@ -325,19 +333,61 @@ def _prepare(spec, weights, x):
     return mt_r, mt_i, phi
 
 
+def _max_chain_batch(nb, d):
+    """Largest (8-multiple) batch whose chain working set fits the VMEM
+    budget — the per-kernel-call tile size for the chunked path below."""
+    bt = 8
+    while _chain_workset_bytes(nb, bt + 8, d) <= VMEM_BUDGET:
+        bt += 8
+    return bt
+
+
 def forward_pallas(spec, weights, x):
-    """(sr, si) via the fused Pallas chain; falls back to the dense XLA
-    path when the working set exceeds the VMEM budget."""
+    """(sr, si) via the fused Pallas chain.
+
+    Batches past the whole-batch VMEM budget (bs~2000 at the Q5
+    flagship shape) are CHUNKED over multiple kernel calls rather than
+    falling back to the dense XLA path (round-4 verdict #6: the
+    batch-size frontier continues past the cap).  Each chunk is one
+    full-VMEM chain call; the block-matrix cotangents of the chunks are
+    summed by autodiff, and the extra per-call cost (~25-30 us launch)
+    is negligible against the ~0.47 us/sample slope at these sizes.
+    Structurally non-uniform or trivial specs still take the dense
+    path."""
     nb, d = spec.n_blocks, spec.dim
     batch = x.shape[0]
-    if _chain_workset_bytes(nb, max(batch, 8), d) > VMEM_BUDGET \
-            or not spec.uniform_encode or nb < 2:
+    if not spec.uniform_encode or nb < 2:
+        return _hea._forward_dense(spec, weights, x)
+    over_budget = _chain_workset_bytes(nb, max(batch, 8), d) > VMEM_BUDGET
+    if over_budget:
+        # equalize chunk sizes (8-aligned) so the last chunk is not
+        # mostly padding: bs=1000 at bt_max=464 would pad 39% — 3 equal
+        # 336-row chunks pad 0.8%
+        bt_max = _max_chain_batch(nb, d)
+        n_chunks = -(-batch // max(bt_max, 8))
+        bt = -(-(-(-batch // n_chunks)) // 8) * 8
+    else:
+        bt = max(batch, 8)
+    if over_budget and (bt < CHUNK_MIN_BT
+                        or os.environ.get('PALLAS_CHUNK') == '0'):
+        # budget too tight to amortize per-chunk launches — dense path
         return _hea._forward_dense(spec, weights, x)
     mt_r, mt_i, phi = _prepare(spec, weights, x)
-    phi_p, n_real = _pad_batch(phi.transpose(1, 0, 2))   # pad batch axis
-    phi_p = phi_p.transpose(1, 0, 2)
+    phi_p, n_real = _pad_batch(phi.transpose(1, 0, 2), mult=8)
     chain = _make_block_chain(nb, d, float(1.0 / np.sqrt(d)))
-    sr, si = chain(mt_r, mt_i, phi_p)
+    if phi_p.shape[0] > bt:
+        pad = (-phi_p.shape[0]) % bt
+        if pad:
+            phi_p = jnp.pad(phi_p, ((0, pad), (0, 0), (0, 0)))
+        srs, sis = [], []
+        for s in range(0, phi_p.shape[0], bt):
+            cr, ci = chain(mt_r, mt_i,
+                           phi_p[s:s + bt].transpose(1, 0, 2))
+            srs.append(cr)
+            sis.append(ci)
+        return (jnp.concatenate(srs, 0)[:n_real],
+                jnp.concatenate(sis, 0)[:n_real])
+    sr, si = chain(mt_r, mt_i, phi_p.transpose(1, 0, 2))
     return sr[:n_real], si[:n_real]
 
 

@@ -114,3 +114,39 @@ def test_multiseed_guard_demotes_vmem_chains():
     out = _guard_vmapped_engine(
         dict(base, engine='auto', num_qubits=10), 5)
     assert out.get('engine', 'auto') == 'auto'
+
+
+def test_chunked_batch_past_vmem_budget(monkeypatch):
+    """Batches past the whole-batch VMEM budget run as MULTIPLE chain
+    calls instead of the dense fallback (round 5, batch frontier):
+    fwd + grads must equal the single-call result exactly."""
+    import jax
+    import jax.numpy as jnp
+    from quanonet_tpu.ops import pallas_hea as ph
+    from quanonet_tpu.ops.hamiltonian import simple_ham_diag
+    from quanonet_tpu.ops.hea import quanonet_spec
+
+    spec = quanonet_spec(3, (2, 1, 2, 1))
+    rng = np.random.RandomState(3)
+    w = jnp.asarray(rng.uniform(-np.pi, np.pi,
+                                spec.weight_shape()).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-2, 2,
+                                (20, spec.total_encode)).astype(np.float32))
+    diag = jnp.asarray(simple_ham_diag(3, -5, 5))
+
+    def loss(w_, x_):
+        a, b = ph.forward_pallas(spec, w_, x_)
+        return jnp.sum(((a * a + b * b) @ diag) ** 2)
+
+    l_ref, g_ref = jax.value_and_grad(loss)(w, x)
+
+    # force the chunked path: claim the 20-row batch is over budget and
+    # cap chunks at 8 rows -> 3 calls with padding
+    monkeypatch.setattr(ph, '_chain_workset_bytes',
+                        lambda B, N, D: ph.VMEM_BUDGET + 1 if N > 8 else 0)
+    monkeypatch.setattr(ph, '_max_chain_batch', lambda nb, d: 8)
+    monkeypatch.setattr(ph, 'CHUNK_MIN_BT', 8)
+    l_c, g_c = jax.value_and_grad(loss)(w, x)
+    np.testing.assert_allclose(float(l_c), float(l_ref), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_ref),
+                               atol=1e-5)
