@@ -184,6 +184,10 @@ def main():
         # (ops/fused_gates.py:195-213) keeps the backward working set
         # bounded; bs=16 x 2^16 split-real states
         (16, (5, 2, 5, 2), ('fused',), 16, True, 10),
+        # Q15/Q16 INFERENCE: the pfused VMEM chain is forward-capable
+        # past its Q14 training cap (round-5 probe)
+        (15, (5, 2, 5, 2), ('pfused', 'fused'), 16, False, 10),
+        (16, (5, 2, 5, 2), ('pfused', 'fused'), 8, False, 10),
     ]
     timed = 3 if args.quick else 20
     rows = []

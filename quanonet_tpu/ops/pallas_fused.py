@@ -69,7 +69,18 @@ from quanonet_tpu.ops.pallas_hea import (
 
 LANE_QUBITS = 7
 MIN_QUBITS = 8
-MAX_QUBITS = 14          # Q12-14 use the butterfly high-group path below
+MAX_QUBITS = 16          # Q12+ use the butterfly high-group path below;
+#                          FORWARD only for Q15-16 (see TRAIN_MAX_QUBITS)
+TRAIN_MAX_QUBITS = 14    # the residual-saving backward's VMEM working
+#                          set passes the 100 MB scoped limit above Q14
+#                          (round-5 probe at Q15 Net5-2-5-2 bt=8: model
+#                          77 MB x the measured 1.63 Mosaic calibration
+#                          = 126 MB -> server-side compile failure; the
+#                          primal-only forward is 24 MB and runs fine,
+#                          measured on-chip at Q15 AND Q16).  Training
+#                          above Q14 raises a clear error pointing at
+#                          engine='fused' instead of the tunnel's
+#                          opaque HTTP 500.
 BFLY_MIN_QUBITS = 12     # hi > 16: dense hi^2 FMA fan-in stops scaling —
 #                          switch to ⊗-factorized butterflies + class-
 #                          stacked ring (PFUSED_BFLY=0/1 overrides for A/B)
@@ -873,6 +884,13 @@ def _make_chain(n_qubits, block_configs, batch, use_bf16=False,
         return untile(sr), untile(si)
 
     def chain_fwd(u7t_r, u7t_i, uh_r, uh_i, phi):
+        if n_qubits > TRAIN_MAX_QUBITS:
+            raise ValueError(
+                f"pfused training tops out at Q{TRAIN_MAX_QUBITS}: the "
+                f"residual-saving backward exceeds the scoped-VMEM "
+                f"limit at Q{n_qubits} (measured round 5 — forward-only "
+                f"inference works to Q16); train with engine='fused' "
+                f"(remat) instead")
         _, _, _, _, _, tile, untile = tiling(bt_train)
         phi_t = tile(phi)
         sr, si, str_, sti = fwd_call(u7t_r, u7t_i, uh_r, uh_i, phi_t,

@@ -195,8 +195,11 @@ def test_noise_training_guards(_isolate):
     with pytest.raises(ValueError, match='quantum models'):
         Solver(dict(base, model_type='FNN', net_size=[2, 8],
                     noise_p=0.05))
+    # noise x dp composes since round 5
+    # (tests/test_parallel.py::test_noisy_dp_solver_end_to_end); the
+    # remaining single-device restrictions are shift/spsa/train_shots
     s = Solver(dict(base, model_type='QuanONet', num_qubits=2,
-                    net_size=[2, 1, 2, 1], noise_p=0.05, noise_traj=2,
+                    net_size=[2, 1, 2, 1], grad_method='shift',
                     num_devices=2))
     with pytest.raises(ValueError, match='single-device'):
         s.train()

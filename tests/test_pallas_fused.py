@@ -105,13 +105,25 @@ def test_engine_dispatch():
 
 
 def test_out_of_range_falls_back():
-    """Q15 exceeds MAX_QUBITS: forward_pfused must route to the XLA
+    """Q17 exceeds MAX_QUBITS: forward_pfused must route to the XLA
     fused path rather than build an unsupported kernel."""
-    spec, w, x, diag = _case(15, (1, 1, 1, 1), 2)
+    spec, w, x, diag = _case(17, (1, 1, 1, 1), 2)
     assert not pf.pfused_applicable(spec)
     out = hea_expectation(spec, w, x, diag=diag, engine='pfused')
     ref = hea_expectation(spec, w, x, diag=diag, engine='fused')
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_train_above_q14_raises_clear_error():
+    """Q15-16 are FORWARD-only in the pfused kernel (the residual-saving
+    backward exceeds scoped VMEM, round-5 probe): differentiating must
+    raise the clear engine='fused' pointer, not an opaque Mosaic
+    failure."""
+    spec, w, x, diag = _case(15, (1, 1, 1, 1), 2)
+    assert pf.pfused_applicable(spec)
+    with pytest.raises(ValueError, match="fused"):
+        jax.grad(lambda w_: jnp.sum(
+            pf.hea_expectation_pfused(spec, w_, x, diag)))(w)
 
 
 # ── butterfly high-group path (Q12+, ops/pallas_fused.py bfly mode) ──────────
