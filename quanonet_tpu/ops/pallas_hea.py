@@ -358,7 +358,8 @@ def forward_pallas(spec, weights, x):
     batch = x.shape[0]
     if not spec.uniform_encode or nb < 2:
         return _hea._forward_dense(spec, weights, x)
-    over_budget = _chain_workset_bytes(nb, max(batch, 8), d) > VMEM_BUDGET
+    bp = max(batch, 8) + (-max(batch, 8)) % 8   # 8-padded batch rows
+    over_budget = _chain_workset_bytes(nb, bp, d) > VMEM_BUDGET
     if over_budget:
         # equalize chunk sizes (8-aligned) so the last chunk is not
         # mostly padding: bs=1000 at bt_max=464 would pad 39% — 3 equal
@@ -367,7 +368,9 @@ def forward_pallas(spec, weights, x):
         n_chunks = -(-batch // max(bt_max, 8))
         bt = -(-(-(-batch // n_chunks)) // 8) * 8
     else:
-        bt = max(batch, 8)
+        bt = bp      # whole (padded) batch in one call — bt must cover
+        #              the _pad_batch rows or chunking would trigger
+        #              spuriously (e.g. bs=100 pads to 104)
     if over_budget and (bt < CHUNK_MIN_BT
                         or os.environ.get('PALLAS_CHUNK') == '0'):
         # budget too tight to amortize per-chunk launches — dense path
