@@ -39,12 +39,18 @@ from quanonet_tpu.ops.gates import hadamard_kron, z_signs
 # We request a higher per-kernel limit and size the fallback budget to it.
 VMEM_LIMIT = 100 * 1024 * 1024
 VMEM_BUDGET = 88 * 1024 * 1024  # working-set ceiling before dense fallback
-CHUNK_MIN_BT = 256   # smallest worthwhile per-call chunk of the batched
-#                      chain (forward_pallas): below this the ~25-30 us
-#                      per-launch cost stops amortizing and the dense
-#                      path wins anyway.  PALLAS_CHUNK=0 disables
-#                      chunking entirely (A/B: dense fallback as before
-#                      round 5)
+CHUNK_MIN_BT = 256   # smallest per-call chunk of the batched chain
+#                      (forward_pallas).  NEGATIVE RESULT (round 5,
+#                      measured bench.py --quick --batch_size 1000 A/B
+#                      on a clean chip): the chunked VMEM chain at
+#                      bt=336 x 3 measured 8,792 samples/s vs the dense
+#                      XLA fallback's 1,131,721 — a ~130x LOSS (the
+#                      kernel's software pipelining collapses at
+#                      hundreds of batch rows; the whole working set no
+#                      longer double-buffers).  Chunking is therefore
+#                      opt-in (PALLAS_CHUNK=1) and the dense fallback
+#                      remains the default for over-budget batches —
+#                      don't retry without a per-tile relayout.
 
 
 def _interpret() -> bool:
@@ -372,8 +378,9 @@ def forward_pallas(spec, weights, x):
         #              the _pad_batch rows or chunking would trigger
         #              spuriously (e.g. bs=100 pads to 104)
     if over_budget and (bt < CHUNK_MIN_BT
-                        or os.environ.get('PALLAS_CHUNK') == '0'):
-        # budget too tight to amortize per-chunk launches — dense path
+                        or os.environ.get('PALLAS_CHUNK') != '1'):
+        # dense fallback is the measured winner for over-budget batches
+        # (see CHUNK_MIN_BT note); chunking stays opt-in for experiments
         return _hea._forward_dense(spec, weights, x)
     mt_r, mt_i, phi = _prepare(spec, weights, x)
     phi_p, n_real = _pad_batch(phi.transpose(1, 0, 2), mult=8)

@@ -140,8 +140,10 @@ def test_chunked_batch_past_vmem_budget(monkeypatch):
 
     l_ref, g_ref = jax.value_and_grad(loss)(w, x)
 
-    # force the chunked path: claim the 20-row batch is over budget and
-    # cap chunks at 8 rows -> 3 calls with padding
+    # force the chunked path (opt-in since the bs=1000 negative result):
+    # claim the 20-row batch is over budget and cap chunks at 8 rows ->
+    # 3 calls with padding
+    monkeypatch.setenv('PALLAS_CHUNK', '1')
     monkeypatch.setattr(ph, '_chain_workset_bytes',
                         lambda B, N, D: ph.VMEM_BUDGET + 1 if N > 8 else 0)
     monkeypatch.setattr(ph, '_max_chain_batch', lambda nb, d: 8)
