@@ -171,6 +171,7 @@ def main():
         (5,  (40, 2, 20, 2), ('pallas', 'embed', 'fused'), 100, True, 200),
         (8,  (40, 2, 20, 2), ('pallas', 'fused', 'pfused'), 100, True, 100),
         (10, (40, 2, 20, 2), ('dense', 'fused', 'pfused'), 100, True, 20),
+        (11, (10, 2, 10, 2), ('pfused', 'fused'), 100, True, 20),
         (12, (10, 2, 10, 2), ('fused', 'pfused'), 100, True, 20),
         # Q13 pfused-only by default: fused at Q13 compiles ~30 min over
         # the tunnel (run it explicitly via --only 13 --engine fused);

@@ -81,9 +81,14 @@ TRAIN_MAX_QUBITS = 14    # the residual-saving backward's VMEM working
 #                          above Q14 raises a clear error pointing at
 #                          engine='fused' instead of the tunnel's
 #                          opaque HTTP 500.
-BFLY_MIN_QUBITS = 12     # hi > 16: dense hi^2 FMA fan-in stops scaling —
+BFLY_MIN_QUBITS = 11     # hi >= 16: dense hi^2 FMA fan-in stops paying —
 #                          switch to ⊗-factorized butterflies + class-
-#                          stacked ring (PFUSED_BFLY=0/1 overrides for A/B)
+#                          stacked ring (PFUSED_BFLY=0/1 overrides for
+#                          A/B).  Round-5 boundary sweep (clean-chip
+#                          sequential A/B, Net10-2-10-2 bs=100): Q11
+#                          bfly 53,564 vs dense-FMA 46,505 samples/s
+#                          (+15%); Q10 (hi=8) neutral (36,710 vs
+#                          36,554) — the crossover is exactly hi=16.
 AUTO_MAX_QUBITS = 14     # auto-dispatch cap: measured 3.7x/1.9x/1.3x the
 #                          XLA fused path at Q8/Q10/Q11 on v5e (Q11
 #                          Net10-2-10-2: 47.6K vs 36.1K), and 1.65x at
