@@ -184,3 +184,12 @@ def test_q12_multi_tile_accumulation():
     spec, w, x, diag = _case(12, (1, 1, 1, 1), 20)
     with mock.patch.object(pf, '_pick_bt', lambda *a, **k: 8):
         _compare(spec, w, x, diag, atol=2e-4)
+
+
+def test_q11_bfly_default_matches_fused():
+    """Q11 (hi=16) became the butterfly default in round 5 (+15%
+    measured): fwd + VJP at the new boundary must match the XLA fused
+    engine."""
+    spec, w, x, diag = _case(11, (1, 1, 1, 1), 3)
+    assert pf._bfly_mode(11) and pf.pfused_applicable(spec)
+    _compare(spec, w, x, diag, atol=2e-4)
