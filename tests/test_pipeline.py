@@ -162,3 +162,30 @@ def test_batch_divisibility_errors():
     # batch 10 % 2 == 0 -> runs fine
     out = np.asarray(fn2(w, x, diag))
     assert out.shape == (10, 1)
+
+
+@pytest.mark.parametrize('pauli', ['X', 'Y'])
+def test_pipeline_pauli_xy_matches_single_device(pauli):
+    """X/Y Σ-Pauli observables on the pipeline engine (round 5: epilogue
+    swap on the draining stage, zero extra communication): values and
+    grads must match the single-device gates oracle."""
+    from quanonet_tpu.ops.hamiltonian import simple_ham_params
+    spec, w, x, diag = _case(3, (2, 1, 2, 1), 8)
+    offset, coeff = simple_ham_params(3, -5.0, 5.0)
+    f = make_pipeline_hea(spec, _mesh(4), n_microbatches=2,
+                          pauli=pauli, offset=offset, coeff=coeff)
+    zeros = jnp.zeros(spec.dim, jnp.float32)
+
+    out = np.asarray(f(w, x, zeros))
+    ref = np.asarray(hea_expectation(spec, w, x, pauli=pauli,
+                                     offset=offset, coeff=coeff,
+                                     engine='gates'))
+    np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    g = np.asarray(jax.grad(
+        lambda w_: jnp.sum(f(w_, x, zeros) ** 2))(w))
+    g_ref = np.asarray(jax.grad(
+        lambda w_: jnp.sum(hea_expectation(
+            spec, w_, x, pauli=pauli, offset=offset, coeff=coeff,
+            engine='gates') ** 2))(w))
+    np.testing.assert_allclose(g, g_ref, atol=1e-4)
