@@ -69,10 +69,11 @@ def model_flops_per_sample(n_qubits, net_size, engine, train=True):
         per_step = (24 if engine == 'embed' else 18) * D * D * n_blocks
         return per_step if train else per_step // 3
     hi = max(D // 128, 1)
-    per_sub = 8 * 128 * D + (8 * hi * D if hi > 1 else 0)
+    w = min(D, 128)      # lane-group contraction width (D itself for n<7)
+    per_sub = 8 * w * D + (8 * hi * D if hi > 1 else 0)
     # Hadamard pair per block: 2 lane matmuls (re+im) + high butterflies
     nh = max(n_qubits - 7, 0)
-    per_block = 8 * D + 2 * (2 * 2 * 128 * D) + 2 * 4 * nh * D
+    per_block = 8 * D + 2 * (2 * 2 * w * D) + 2 * 4 * nh * D
     fwd = n_sub * per_sub + n_blocks * per_block + 4 * D
     return 3 * fwd if train else fwd
 
@@ -97,17 +98,29 @@ def bench_config(n_qubits, net_size, engine, batch, epochs_timed=20,
     params = model.init(jax.random.PRNGKey(0), branch[:1], trunk[:1])
 
     if not train:
-        fwd = jax.jit(lambda p, b, t: model.apply(p, b, t))
-        out = fwd(params, branch[:batch], trunk[:batch])
-        float(jnp.sum(out))               # compile + sync
+        # one jitted scan over all steps per dispatch — per-call RPC
+        # (~5 ms) + fixed floor (~35 ms) would otherwise dominate the
+        # small-batch large-Q forward rows (CLAUDE.md tunnel rule:
+        # >=10K samples per call or throughput is understated)
+        @jax.jit
+        def fwd_epoch(p, branch, trunk):
+            def step(acc, i):
+                s = i * batch
+                b = jax.lax.dynamic_slice_in_dim(branch, s, batch)
+                t = jax.lax.dynamic_slice_in_dim(trunk, s, batch)
+                return acc + jnp.sum(model.apply(p, b, t)), None
+            acc, _ = jax.lax.scan(step, 0.0,
+                                  jnp.arange(steps_per_epoch))
+            return acc
+
+        float(fwd_epoch(params, branch, trunk))    # compile + sync
         t0 = time.time()
         reps = max(epochs_timed, 5)
-        for i in range(reps):
-            s = (i % steps_per_epoch) * batch
-            out = fwd(params, branch[s:s + batch], trunk[s:s + batch])
-        float(jnp.sum(out))               # value sync
+        for _ in range(reps):
+            acc = fwd_epoch(params, branch, trunk)
+        float(acc)                                 # value sync
         dt = time.time() - t0
-        return reps * batch / dt, None
+        return reps * n / dt, None
 
     optimizer = optax.adam(1e-4)
     opt_state = optimizer.init(params)
@@ -226,9 +239,10 @@ def main():
             rows.append(row)
             print(json.dumps(row), flush=True)
     # JSON artifact for the docs/BENCHMARKS.md scaling table (partial
-    # runs via --only/--engine merge into the existing artifact)
+    # runs via --only/--engine merge into the existing artifact; --quick
+    # never writes — 3-epoch numbers must not replace recorded rows)
     art_path = os.path.join(REPO, 'docs', 'qubit_scaling.json')
-    if rows and jax.default_backend() == 'tpu':
+    if rows and not args.quick and jax.default_backend() == 'tpu':
         try:
             with open(art_path) as f:
                 art = {r['metric']: r for r in json.load(f)['rows']}

@@ -310,7 +310,14 @@ def test_pfused_engine():
 
     # Q14 butterfly (hi=128, round 5): 7 high-qubit butterflies + bt=8
     # backward tiles — the Mosaic gate for the round-5 extension
-    # (tiny 3-block net keeps the tunnel compile bounded).
+    # (tiny 3-block net keeps the tunnel compile bounded).  TPU-only:
+    # interpret-mode hi=128 costs ~10 min on the 1-core box (the same
+    # workload tests/test_pallas_fused.py gates behind QON_SLOW).
+    if jax.default_backend() != 'tpu':
+        print("[SKIP] Q14 fused≡pfused (butterfly) — TPU-only gate "
+              "(hi=128 interpret mode is ~10 min on CPU; run "
+              "QON_SLOW=1 pytest tests/test_pallas_fused.py instead)")
+        return ok and ok2 and ok3
     spec14 = quanonet_spec(14, (2, 1, 1, 1))
     w14 = jnp.asarray(rng.uniform(-np.pi, np.pi,
                                   spec14.weight_shape()).astype(np.float32))

@@ -383,9 +383,11 @@ def diag_expectation_pair(sr, si, diag):
                       precision=_EXPECT_PRECISION)[:, None]
 
 
-def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):
-    """⟨offset + coeff·Σ_i P_i⟩ for P ∈ {X, Y} (MS-only ablation,
-    reference quantum_circuits_ms.py:28-39)."""
+def pauli_sum_total(sr, si, pauli, n_qubits):
+    """Raw Σ_q ⟨P_q⟩ for P ∈ {X, Y} -> (batch,).  The ONE home of the
+    per-qubit pair formula — also reused for the LOCAL qubits of the
+    amplitude-sharded engine (parallel/amplitude.py), so the sharded
+    observable can never drift from the single-device one."""
     batch = sr.shape[0]
     total = jnp.zeros((batch,), jnp.float32)
     for q in range(n_qubits):
@@ -404,6 +406,13 @@ def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):
         else:
             raise ValueError(f"pauli must be X or Y, got {pauli}")
         total = total + val
+    return total
+
+
+def pauli_sum_expectation_pair(sr, si, pauli, n_qubits, offset, coeff):
+    """⟨offset + coeff·Σ_i P_i⟩ for P ∈ {X, Y} (MS-only ablation,
+    reference quantum_circuits_ms.py:28-39)."""
+    total = pauli_sum_total(sr, si, pauli, n_qubits)
     return (offset + coeff * total)[:, None]
 
 

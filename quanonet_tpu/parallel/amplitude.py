@@ -151,21 +151,10 @@ def make_sharded_hea(spec: HEASpec, mesh, axis='amp', fused=False,
         if pauli == 'Z':
             local = (sr * sr + si * si) @ diag_local       # (batch,)
             return jax.lax.psum(local, axis)[:, None]
+        from quanonet_tpu.ops.hea import pauli_sum_total
         batch = sr.shape[0]
-        total = jnp.zeros((batch,), jnp.float32)
-        for q in range(local_n):
-            lo = 2 ** q
-            h2 = 2 ** (local_n - 1 - q)
-            r = sr.reshape(batch, h2, 2, lo)
-            i = si.reshape(batch, h2, 2, lo)
-            r0, r1 = r[:, :, 0, :], r[:, :, 1, :]
-            i0, i1 = i[:, :, 0, :], i[:, :, 1, :]
-            if pauli == 'X':
-                total = total + 2.0 * jnp.sum(r0 * r1 + i0 * i1,
-                                              axis=(1, 2))
-            else:
-                total = total + 2.0 * jnp.sum(r0 * i1 - i0 * r1,
-                                              axis=(1, 2))
+        total = (pauli_sum_total(sr, si, pauli, local_n) if local_n > 0
+                 else jnp.zeros((batch,), jnp.float32))
         for q in range(local_n, n):
             dev_bit = q - local_n
             pr = _swap_with_partner(sr, axis, n_dev, dev_bit)

@@ -104,8 +104,16 @@ def sharded_expectation(spec, weights, x, diag, pauli='Z', offset=0.0,
             "engine 'amp'/'pipe' needs an active shard context — "
             "run via Solver --shard amp|pipe, or call "
             "parallel.shard_engine.set_shard_context(mesh, mode) first")
+    try:
+        offset, coeff = float(offset), float(coeff)
+    except TypeError as e:
+        raise ValueError(
+            "engine 'amp'/'pipe' bakes the observable into the "
+            "shard_map program: pauli offset/coeff must be concrete "
+            "Python floats, not traced values (use a single-device "
+            "engine to differentiate w.r.t. Hamiltonian bounds)") from e
     key = (spec, ctx.mode, ctx.mesh, ctx.n_microbatches,
-           pauli, float(offset), float(coeff))
+           pauli, offset, coeff)
     fn = _fn_cache.get(key)
     if fn is None:
         fn = _fn_cache[key] = _build(spec, ctx, pauli, offset, coeff)
