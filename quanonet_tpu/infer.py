@@ -167,7 +167,12 @@ def _build_model(cfg: dict, branch_in: int, trunk_in: int):
             and not cfg.get('readout_p'):
         cfg = {**cfg, 'noise_p': None}
     if mt in ('QuanONet', 'HEAQNN'):
+        # inference never differentiates, so Q15/16 may take the
+        # forward-only pfused kernel (4.9x/8.6x the fused forward there)
+        from quanonet_tpu.ops.hea import resolve_inference_engine
         kw = dict(num_qubits=int(cfg['num_qubits']),
+                  engine=resolve_inference_engine(
+                      cfg.get('engine') or 'auto', int(cfg['num_qubits'])),
                   net_size=net_size,
                   scale_coeff=float(cfg['scale_coeff']),
                   if_trainable_freq=bool(cfg['if_trainable_freq']),

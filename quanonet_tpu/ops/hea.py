@@ -454,6 +454,24 @@ def resolve_engine(engine: str, n_qubits: int) -> str:
     return engine
 
 
+def resolve_inference_engine(engine, n_qubits: int) -> str:
+    """Engine choice for NO-GRAD callers (infer.py / serve.py).
+
+    Identical to :func:`resolve_engine` except Q15-16 prefer the pfused
+    VMEM-chain forward — measured 4.9x/8.6x the fused forward there
+    (round 5, docs/qubit_scaling.json; Q16 at 36.8% MFU) — which cannot
+    train (its residual-saving backward exceeds scoped VMEM above
+    TRAIN_MAX_QUBITS) and is therefore never auto-selected on the
+    differentiable path."""
+    if engine in ('auto', None) and jax.default_backend() == 'tpu':
+        from quanonet_tpu.ops.pallas_fused import (
+            MAX_QUBITS, TRAIN_MAX_QUBITS,
+        )
+        if TRAIN_MAX_QUBITS < n_qubits <= MAX_QUBITS:
+            return 'pfused'
+    return resolve_engine(engine, n_qubits)
+
+
 def hea_forward_pair(spec: HEASpec, weights, x, engine='auto'):
     """Evolve |0…0⟩; returns (sr, si) each (batch, 2^n) float32."""
     engine = resolve_engine(engine, spec.n_qubits)

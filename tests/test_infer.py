@@ -179,3 +179,21 @@ def test_hamiltonian_ckpt_golden_roundtrip():
     # guarded against (ham_bound silently defaulting to [-5,5]) scores
     # 0.447 — orders of magnitude outside this tolerance.
     assert abs(got - expected) < 0.015, (got, expected)
+
+
+def test_resolve_inference_engine(monkeypatch):
+    """Inference-only surfaces (infer/serve) prefer the forward-only
+    pfused kernel at Q15-16 on TPU (4.9x/8.6x the fused forward,
+    round 5); the differentiable auto path never selects it there."""
+    import jax
+    from quanonet_tpu.ops.hea import (
+        resolve_engine, resolve_inference_engine,
+    )
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'tpu')
+    assert resolve_inference_engine('auto', 15) == 'pfused'
+    assert resolve_inference_engine('auto', 16) == 'pfused'
+    assert resolve_inference_engine('auto', 17) == 'fused'
+    assert resolve_inference_engine('auto', 14) == resolve_engine('auto', 14)
+    assert resolve_inference_engine('fused', 16) == 'fused'  # explicit wins
+    monkeypatch.setattr(jax, 'default_backend', lambda: 'cpu')
+    assert resolve_inference_engine('auto', 15) == 'fused'
