@@ -186,11 +186,9 @@ def main():
         (10, (40, 2, 20, 2), ('dense', 'fused', 'pfused'), 100, True, 20),
         (11, (10, 2, 10, 2), ('pfused', 'fused'), 100, True, 20),
         (12, (10, 2, 10, 2), ('fused', 'pfused'), 100, True, 20),
-        # Q13 pfused-only by default: fused at Q13 compiles ~30 min over
-        # the tunnel (run it explicitly via --only 13 --engine fused);
-        # dominance vs fused follows from the measured fused Q12 row
-        # (fused throughput is monotone decreasing in Q).
-        (13, (10, 2, 10, 2), ('pfused',), 100, True, 20),
+        # fused Q13 measured round 5 (8,732 samples/s; the feared
+        # ~30-min compile was in the persistent cache, 4.4 s)
+        (13, (10, 2, 10, 2), ('pfused', 'fused'), 100, True, 20),
         # Q14: round-5 butterfly pfused extension (hi=128, bt=8 bwd
         # tiles) vs the fused+remat path
         (14, (5, 2, 5, 2), ('pfused', 'fused'), 32, True, 10),
